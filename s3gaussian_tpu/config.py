@@ -1,0 +1,307 @@
+"""Configuration system.
+
+Mirrors the four parameter groups of the reference
+(``arguments/__init__.py:47-236`` in nnanhuang/S3Gaussian) as frozen-free
+dataclasses, with the same field names and defaults so configs and CLI
+invocations translate one-to-one.  Python-file overrides (the reference
+uses ``mmcv.Config`` + ``merge_hparams``, ``train.py:751-755``) are
+supported by exec'ing a config file that defines ``ModelParams = dict(...)``
+style dicts.
+
+TPU additions live in :class:`RasterConfig` (static capacities for the
+sort-based binner — the XLA analogue of the CUDA rasterizer's dynamically
+sized CUB buffers) and :class:`ParallelConfig` (device-mesh layout; the
+reference has no distributed story at all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+
+@dataclass
+class ModelParams:
+    """Data/scene loading options (reference ``ModelParams``)."""
+
+    debug_test: bool = False
+    sh_degree: int = 3
+    source_path: str = ""
+    model_path: str = ""
+    images: str = "images"
+    resolution: int = -1
+    white_background: bool = False
+    data_device: str = "tpu"
+    eval: bool = True
+    # test/train split
+    stride: int = 0
+    # visual
+    render_process: bool = True
+    # waymo clip time range
+    start_time: int = 0
+    end_time: int = 49
+    original_start_time: int = 0
+    num_objs: int = 256
+    num_pts: int = 1500000
+    # mask loading options
+    load_sky_mask: bool = False
+    load_panoptic_mask: bool = False
+    load_sam_mask: bool = False
+    load_dynamic_mask: bool = True
+    load_feat_map: bool = True
+    # waymo
+    n_views: int = 100
+    random_init: bool = False
+    train_split: bool = False
+    num_classes: int = 200
+    load_intrinsic: bool = False
+    load_c2w: bool = False
+    # occupancy grid
+    save_occ_grid: bool = True
+    occ_voxel_size: float = 0.4
+    recompute_occ_grid: bool = False
+
+    # Fields with a leading underscore in the reference get a one-letter
+    # shorthand on the CLI.  We record them here.
+    _shorthand = ("source_path", "model_path", "images", "resolution",
+                  "white_background")
+
+
+@dataclass
+class PipelineParams:
+    """Render-pipeline toggles (reference ``PipelineParams``)."""
+
+    convert_SHs_python: bool = True
+    compute_cov3D_python: bool = False
+    debug: bool = False
+
+    _shorthand = ()
+
+
+@dataclass
+class OptimizationParams:
+    """Optimizer / schedule / density-control knobs (reference
+    ``OptimizationParams``)."""
+
+    vis_step: int = 2000
+    batch_size: int = 1
+
+    iterations: int = 50_000
+    coarse_iterations: int = 5000
+
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30_000
+
+    deformation_lr_init: float = 0.000016
+    deformation_lr_final: float = 0.0000016
+    deformation_lr_delay_mult: float = 0.01
+    grid_lr_init: float = 0.00016
+    grid_lr_final: float = 0.000016
+
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    percent_dense: float = 0.01
+    lambda_dssim: float = 0.2
+    lambda_depth: float = 0.5
+    densification_interval: int = 100
+    opacity_reset_interval: int = 3000
+    pruning_interval: int = 100
+    pruning_from_iter: int = 500
+    densify_until_iter: int = 25_000
+    densify_grad_threshold_coarse: float = 0.0002
+    densify_grad_threshold_fine_init: float = 0.0002
+    densify_grad_threshold_after: float = 0.0002
+
+    opacity_threshold_coarse: float = 0.005
+    opacity_threshold_fine_init: float = 0.005
+    opacity_threshold_fine_after: float = 0.005
+
+    random_background: bool = False
+    # for waymo
+    max_points: int = 500_000
+    prune_from_iter: int = 500
+    prune_interval: int = 100
+
+    scale_ratio: float = 1.0
+    # feat
+    include_feature: bool = True
+    language_feature_lr: float = 0.0025
+    feat_dim: int = 8
+    feat_conv_lr: float = 0.0001
+
+    lambda_feat: float = 0.001
+    dx_reg: bool = False
+    lambda_dx: float = 0.001
+    lambda_dshs: float = 0.001
+
+    custom_xyz_scheduler: bool = False
+
+    # deprecated in the reference but kept for config compatibility
+    densify_from_iter: int = 500
+    position_lr_after_iter: int = 500
+    scale_ratio_threshold: float = 5.0
+    hard_alpha_composite: bool = True
+    alpha_mask_threshold: float = 0.8
+
+    _shorthand = ()
+
+
+@dataclass
+class ModelHiddenParams:
+    """Deformation-field hyperparameters (reference ``ModelHiddenParams``)."""
+
+    net_width: int = 64
+    timebase_pe: int = 4
+    defor_depth: int = 1
+    posebase_pe: int = 10
+    scale_rotation_pe: int = 2
+    opacity_pe: int = 2
+    timenet_width: int = 64
+    timenet_output: int = 32
+    bounds: float = 1.6
+    plane_tv_weight: float = 0.0001
+    time_smoothness_weight: float = 0.01
+    l1_time_planes: float = 0.0001
+    kplanes_config: Dict[str, Any] = field(default_factory=lambda: {
+        "grid_dimensions": 2,
+        "input_coordinate_dim": 4,
+        "output_coordinate_dim": 32,
+        "resolution": [64, 64, 64, 25],
+    })
+    multires: List[int] = field(default_factory=lambda: [1, 2, 4, 8])
+    no_dx: bool = False
+    no_grid: bool = False
+    no_ds: bool = True
+    no_dr: bool = True
+    no_do: bool = True
+    no_dshs: bool = False
+    feat_head: bool = True
+    empty_voxel: bool = False
+    grid_pe: int = 0
+    static_mlp: bool = False
+    apply_rotation: bool = False
+
+    _shorthand = ()
+
+
+@dataclass
+class RasterConfig:
+    """Static capacities for the TPU rasterizer (new; no reference analog —
+    replaces the CUDA path's dynamically-resized CUB buffers,
+    ``rasterizer_impl.cu:155-194``)."""
+
+    tile_x: int = 16           # reference config.h BLOCK_X
+    tile_y: int = 16           # reference config.h BLOCK_Y
+    max_visible: int = 1 << 19  # render budget NR: gaussians after cull/compact
+    rect_w: int = 5            # per-gaussian tile-rect cap (width, tiles)
+    rect_h: int = 5            # per-gaussian tile-rect cap (height, tiles)
+    chunk: int = 128           # gaussians composited per kernel chunk
+    use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
+
+    @property
+    def rect_cap(self) -> int:
+        return self.rect_w * self.rect_h
+
+    @property
+    def max_pairs(self) -> int:
+        return self.max_visible * self.rect_cap
+
+
+@dataclass
+class ParallelConfig:
+    """Device-mesh layout (new capability; reference is single-GPU)."""
+
+    data_axis: str = "data"      # camera-batch data parallelism
+    gaussian_axis: str = "gs"    # optional gaussian sharding for preprocess
+    data: int = 1
+    gs: int = 1
+
+
+# ---------------------------------------------------------------------------
+# argparse reflection (reference arguments/__init__.py:19-45)
+# ---------------------------------------------------------------------------
+
+def add_group_args(parser: argparse.ArgumentParser, cls, name: str) -> None:
+    """Register a dataclass's fields as CLI flags, replicating the
+    reference's ``ParamGroup`` reflection: bools become ``store_true`` and
+    shorthand fields also get ``-<first letter>``."""
+    group = parser.add_argument_group(name)
+    shorthand = getattr(cls, "_shorthand", ())
+    for f in dataclasses.fields(cls):
+        if f.name.startswith("_"):
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.default_factory is not dataclasses.MISSING:  # type: ignore
+            default = f.default_factory()  # type: ignore
+        flags = ["--" + f.name]
+        if f.name in shorthand:
+            flags.append("-" + f.name[0])
+        if f.type in (bool, "bool"):
+            group.add_argument(*flags, default=default, action="store_true")
+        elif f.type in (int, "int"):
+            group.add_argument(*flags, default=default, type=int)
+        elif f.type in (float, "float"):
+            group.add_argument(*flags, default=default, type=float)
+        elif f.type in (str, "str"):
+            group.add_argument(*flags, default=default, type=str)
+        # dict/list fields are config-file only (same as the reference).
+
+
+def extract_group(cls, args: argparse.Namespace):
+    """Build a dataclass instance from parsed args (unknown fields kept at
+    defaults)."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name.startswith("_"):
+            continue
+        if hasattr(args, f.name):
+            kwargs[f.name] = getattr(args, f.name)
+    inst = cls(**kwargs)
+    if isinstance(inst, ModelParams) and inst.source_path:
+        inst.source_path = os.path.abspath(inst.source_path)
+    return inst
+
+
+# ---------------------------------------------------------------------------
+# python-file config overrides (reference utils/params_utils.py + mmcv)
+# ---------------------------------------------------------------------------
+
+def load_config_overrides(path: str) -> Dict[str, Dict[str, Any]]:
+    """Exec a reference-style config file (``arguments/nvs.py`` etc.) that
+    assigns ``<GroupName> = dict(...)`` and return the override dicts."""
+    scope: Dict[str, Any] = {}
+    with open(path) as f:
+        code = f.read()
+    exec(compile(code, path, "exec"), scope)  # noqa: S102 - trusted local file
+    out = {}
+    for name in ("ModelParams", "PipelineParams", "OptimizationParams",
+                 "ModelHiddenParams"):
+        if name in scope and isinstance(scope[name], dict):
+            out[name] = scope[name]
+    return out
+
+
+def merge_hparams(group, overrides: Dict[str, Any]):
+    """Apply a config-file override dict onto a dataclass instance
+    (reference ``utils/params_utils.py:1-9`` semantics: only known keys)."""
+    for k, v in overrides.items():
+        if hasattr(group, k):
+            setattr(group, k, v)
+    return group
+
+
+def apply_config_file(path: str, model: ModelParams, pipe: PipelineParams,
+                      opt: OptimizationParams, hyper: ModelHiddenParams):
+    ov = load_config_overrides(path)
+    merge_hparams(model, ov.get("ModelParams", {}))
+    merge_hparams(pipe, ov.get("PipelineParams", {}))
+    merge_hparams(opt, ov.get("OptimizationParams", {}))
+    merge_hparams(hyper, ov.get("ModelHiddenParams", {}))
+    return model, pipe, opt, hyper

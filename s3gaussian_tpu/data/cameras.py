@@ -1,0 +1,115 @@
+"""Camera containers.
+
+Parity target: ``scene/cameras.py`` + ``utils/camera_utils.py`` in the
+reference — a camera carries the view/projection transforms the rasterizer
+consumes plus the per-view supervision targets (image, sparse lidar depth,
+dynamic mask, DINO feature map, sky mask).
+
+TPU-first design notes:
+  * ``Camera`` is a registered pytree whose array leaves can be device-put /
+    sharded; the static geometry (H, W, fovs) lives in aux data so a jitted
+    train step specializes on image shape once.
+  * ``CameraBatch`` stacks the *tensor* fields of many cameras (all Waymo
+    views share a resolution) so a batch axis can be mapped over devices —
+    the multi-camera data-parallel seam (reference train.py:328-360 pops
+    cameras one by one in Python instead).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s3gaussian_tpu.ops.transforms import (
+    camera_center,
+    focal2fov,
+    full_projection,
+    projection_matrix,
+    world_to_view,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class Camera:
+    """One view. Array fields are pytree leaves; geometry is static aux."""
+
+    # --- dynamic (traced) fields ---
+    world_view: jnp.ndarray            # [4,4] row-vector W2C^T
+    full_proj: jnp.ndarray             # [4,4] row-vector W2C^T @ P^T
+    campos: jnp.ndarray                # [3]
+    time: jnp.ndarray                  # scalar in [0,1]
+    image: Optional[jnp.ndarray] = None        # [H,W,3] float in [0,1]
+    depth_map: Optional[jnp.ndarray] = None    # [H,W] sparse lidar depth (0 = missing)
+    dynamic_mask: Optional[jnp.ndarray] = None  # [H,W] bool
+    sky_mask: Optional[jnp.ndarray] = None      # [H,W] bool
+    feat_map: Optional[jnp.ndarray] = None      # [H,W,3] PCA'd DINO features
+
+    # --- static fields ---
+    image_height: int = field(default=0, metadata=dict(static=True))
+    image_width: int = field(default=0, metadata=dict(static=True))
+    fovx: float = field(default=1.0, metadata=dict(static=True))
+    fovy: float = field(default=1.0, metadata=dict(static=True))
+    uid: int = field(default=0, metadata=dict(static=True))
+    cam_idx: int = field(default=0, metadata=dict(static=True))
+    frame_idx: int = field(default=0, metadata=dict(static=True))
+
+    @property
+    def tanfovx(self) -> float:
+        return float(np.tan(self.fovx * 0.5))
+
+    @property
+    def tanfovy(self) -> float:
+        return float(np.tan(self.fovy * 0.5))
+
+
+def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
+                width: int, height: int, time: float = 0.0,
+                znear: float = 0.01, zfar: float = 100.0,
+                image: Optional[np.ndarray] = None,
+                depth_map: Optional[np.ndarray] = None,
+                dynamic_mask: Optional[np.ndarray] = None,
+                sky_mask: Optional[np.ndarray] = None,
+                feat_map: Optional[np.ndarray] = None,
+                uid: int = 0, cam_idx: int = 0, frame_idx: int = 0) -> Camera:
+    """Build a Camera from COLMAP-convention R (c2w rotation) and T (w2c
+    translation), replicating scene/cameras.py:26-64 of the reference
+    (znear=0.01, zfar=100 there)."""
+    w2c = world_to_view(R, T)
+    world_view = w2c.T  # row-vector convention
+    proj = projection_matrix(znear, zfar, fovx, fovy)
+    fp = full_projection(world_view.T, proj)  # = w2c^T @ proj^T
+    cc = camera_center(w2c)
+    return Camera(
+        world_view=jnp.asarray(world_view),
+        full_proj=jnp.asarray(fp),
+        campos=jnp.asarray(cc),
+        time=jnp.asarray(time, dtype=jnp.float32),
+        image=None if image is None else jnp.asarray(image),
+        depth_map=None if depth_map is None else jnp.asarray(depth_map),
+        dynamic_mask=None if dynamic_mask is None else jnp.asarray(dynamic_mask),
+        sky_mask=None if sky_mask is None else jnp.asarray(sky_mask),
+        feat_map=None if feat_map is None else jnp.asarray(feat_map),
+        image_height=height, image_width=width,
+        fovx=float(fovx), fovy=float(fovy),
+        uid=uid, cam_idx=cam_idx, frame_idx=frame_idx,
+    )
+
+
+def stack_cameras(cams) -> Camera:
+    """Stack same-shape cameras into one Camera pytree with a leading batch
+    axis (the data-parallel unit)."""
+    assert len(cams) > 0
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
+
+
+def nerf_norm_radius(cam_centers: np.ndarray) -> float:
+    """NeRF++-style scene radius from camera centers
+    (reference scene/dataset_readers.py:77-98 getNerfppNorm)."""
+    center = cam_centers.mean(axis=0, keepdims=True)
+    dist = np.linalg.norm(cam_centers - center, axis=1)
+    return float(dist.max() * 1.1)

@@ -1,0 +1,130 @@
+"""Tile binning: static-shape, sort-based replacement for the CUDA
+rasterizer's dynamic pipeline (``rasterizer_impl.cu:198-339``:
+``InclusiveSum`` over tiles_touched → ``duplicateWithKeys`` 64-bit
+[tile|depth] keys → ``DeviceRadixSort`` → ``identifyTileRanges``).
+
+TPU design (all shapes static, one compiled program):
+
+1. **Visible compaction** — one stable key/value ``lax.sort`` over the pool
+   brings visible Gaussians to the front; the first ``NR = max_visible``
+   slots form the render set.
+2. **Bounded pair expansion** — each render slot emits up to
+   ``rect_w × rect_h`` (tile, depth) pairs for the tiles its screen rect
+   covers.  Rects larger than the cap are clamped *around the projected
+   center* (the reference has no cap; overflow is counted and reported so
+   budgets can be tuned).  Each pair packs into a single uint32 key:
+   ``tile_id << 20 | top-20-bits-of-float32(depth)`` — positive-float bit
+   patterns are order-preserving, so one radix-friendly sort orders pairs
+   by tile then front-to-back depth, ties broken stably by pool order
+   (the CUDA 64-bit key sort has the same tie behavior).
+3. **One kv-sort** of the M = NR·rect_cap keys with the flat slot index as
+   payload, plus a second kv-sort that yields the inverse permutation —
+   the backward pass uses it to turn per-pair gradients (written in sorted
+   order by the tile kernel) back into the dense [NR, rect_cap] layout,
+   where a plain axis-sum replaces the CUDA backward's atomicAdds
+   (scatter-add is pathologically slow on TPU; measured ~100ms/M rows).
+4. **Tile ranges** via ``searchsorted`` (== ``identifyTileRanges``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from s3gaussian_tpu.ops.project import ProjectedGaussians
+
+# Key layout: tile in the top 12 bits after a 20-bit depth field.
+DEPTH_BITS = 20
+INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+class BinnedPairs(NamedTuple):
+    """Sorted pair stream + tile ranges (static shapes)."""
+
+    sel: jnp.ndarray          # [NR] int32 pool index of each render slot
+    sel_visible: jnp.ndarray  # [NR] bool  render slot is a real visible gaussian
+    sorted_gid: jnp.ndarray   # [M] int32 render-slot index per sorted pair
+    invperm: jnp.ndarray      # [M] int32 sorted position of each flat pair slot
+    tile_starts: jnp.ndarray  # [T+1] int32 pair range per tile (starts[T] = n_pairs)
+    n_pairs: jnp.ndarray      # [] int32 number of valid pairs
+    n_visible: jnp.ndarray    # [] int32 visible gaussians (pre NR-cap)
+    overflow_rect: jnp.ndarray  # [] int32 gaussians whose rect was clamped
+    overflow_visible: jnp.ndarray  # [] int32 visible gaussians beyond NR budget
+
+
+def depth_key_bits(depth: jnp.ndarray) -> jnp.ndarray:
+    """Top DEPTH_BITS bits of the float32 depth — monotone for depth > 0."""
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.uint32)
+    return bits >> jnp.uint32(32 - DEPTH_BITS)
+
+
+def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
+                  max_visible: int, rect_w: int, rect_h: int,
+                  tile_x: int = 16, tile_y: int = 16) -> BinnedPairs:
+    n_tiles = grid_x * grid_y
+    assert n_tiles < (1 << (32 - DEPTH_BITS)) - 1, "tile id must fit 12 bits"
+    n_pool = proj.depth.shape[0]
+    nr = min(max_visible, n_pool)
+    rect_cap = rect_w * rect_h
+
+    visible = proj.visible
+    n_visible = jnp.sum(visible.astype(jnp.int32))
+
+    # 1. stable visible-first compaction
+    compact_key = jnp.where(visible, jnp.uint32(0), jnp.uint32(1))
+    _, order = jax.lax.sort(
+        (compact_key, jnp.arange(n_pool, dtype=jnp.int32)), num_keys=1)
+    sel = order[:nr]
+    sel_visible = visible[sel] & (jnp.arange(nr) < n_visible)
+    overflow_visible = jnp.maximum(n_visible - nr, 0)
+
+    # 2. bounded pair expansion on the render set
+    rect = proj.tiles_rect[sel]          # [NR,4] x0,y0,x1,y1
+    xy = jax.lax.stop_gradient(proj.xy[sel])
+    x0, y0, x1, y1 = rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3]
+    w = x1 - x0
+    h = y1 - y0
+    overflow_rect = jnp.sum(((w > rect_w) | (h > rect_h)) & sel_visible)
+
+    # center-clamp oversized rects (tile of the projected mean stays inside)
+    cx = jnp.clip((xy[:, 0] // tile_x).astype(jnp.int32), x0, jnp.maximum(x0, x1 - 1))
+    cy = jnp.clip((xy[:, 1] // tile_y).astype(jnp.int32), y0, jnp.maximum(y0, y1 - 1))
+    wc = jnp.minimum(w, rect_w)
+    hc = jnp.minimum(h, rect_h)
+    x0c = jnp.clip(cx - rect_w // 2, x0, jnp.maximum(x0, x1 - wc))
+    y0c = jnp.clip(cy - rect_h // 2, y0, jnp.maximum(y0, y1 - hc))
+
+    dbits = depth_key_bits(proj.depth[sel])
+
+    r = jnp.arange(rect_cap, dtype=jnp.int32)[None, :]        # [1, R]
+    wc_ = jnp.maximum(wc, 1)[:, None]
+    dx = r % wc_
+    dy = r // wc_
+    valid = (r < (wc * hc)[:, None]) & sel_visible[:, None]
+    tile = (y0c[:, None] + dy) * grid_x + (x0c[:, None] + dx)
+    key = (tile.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS)) | dbits[:, None]
+    key = jnp.where(valid, key, INVALID_KEY)
+
+    m = nr * rect_cap
+    flat_key = key.reshape(m)
+    gid = jnp.broadcast_to(jnp.arange(nr, dtype=jnp.int32)[:, None],
+                           (nr, rect_cap)).reshape(m)
+    slot = jnp.arange(m, dtype=jnp.int32)
+
+    # 3. the sort (stable) + inverse permutation
+    sorted_key, sorted_gid, sorted_slot = jax.lax.sort(
+        (flat_key, gid, slot), num_keys=1)
+    _, invperm = jax.lax.sort((sorted_slot, slot), num_keys=1)
+
+    # 4. tile ranges
+    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(DEPTH_BITS)
+    tile_starts = jnp.searchsorted(sorted_key, tile_ids, side="left").astype(jnp.int32)
+    n_pairs = tile_starts[-1]
+
+    return BinnedPairs(sel=sel, sel_visible=sel_visible, sorted_gid=sorted_gid,
+                       invperm=invperm, tile_starts=tile_starts,
+                       n_pairs=n_pairs, n_visible=n_visible,
+                       overflow_rect=overflow_rect,
+                       overflow_visible=overflow_visible)

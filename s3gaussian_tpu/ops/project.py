@@ -1,0 +1,177 @@
+"""Per-Gaussian screen-space preprocessing (differentiable, pure jnp).
+
+TPU-native replacement for ``preprocessCUDA`` + helpers in the reference
+rasterizer (``cuda_rasterizer/forward.cu:74-256``, ``auxiliary.h:40-164``):
+frustum cull, EWA projection of the 3D covariance to a 2D conic, screen
+radius and tile rectangle, view depth.
+
+The CUDA reference pairs this with ~500 lines of hand-derived backward
+(``backward.cu:144-412``).  Here the whole function is jnp, so ``jax.grad``
+produces those gradients — including the FOV-clamp masks (via
+``jnp.clip``'s subgradient) and the depth-path mean gradient
+(``backward.cu:394-403``) — and XLA fuses it into one elementwise program
+over the Gaussian pool.
+
+Conventions (identical to the reference):
+  * matrices are row-vector transforms: ``p_view = [p,1] @ view``;
+  * ``view`` = world_view_transform (W2C^T), ``proj`` = full_proj_transform;
+  * NDC->pixel: ``((ndc+1)*S - 1)/2`` (auxiliary.h:40-43);
+  * 2D covariance gets the +0.3 px low-pass (forward.cu:110-111);
+  * radius = ceil(3·sqrt(max eigenvalue)) (forward.cu:229-232);
+  * near-plane cull at z ≤ 0.2 (auxiliary.h:154).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class ProjectedGaussians(NamedTuple):
+    """Static-shaped per-Gaussian screen-space quantities (all [N, ...])."""
+
+    xy: jnp.ndarray          # [N,2] pixel-space center
+    depth: jnp.ndarray       # [N]   view-space z
+    conic: jnp.ndarray       # [N,3] inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray      # [N]   int32 screen radius, 0 = culled
+    tiles_rect: jnp.ndarray  # [N,4] int32 (x0, y0, x1, y1) tile rect, half-open
+    visible: jnp.ndarray     # [N]   bool
+
+
+def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
+                scale_modifier: float = 1.0) -> jnp.ndarray:
+    """World covariance Σ = R S Sᵀ Rᵀ from activated scales and (possibly
+    unnormalized) quaternions.  Parity: ``computeCov3D`` (forward.cu:118-152)
+    / ``build_scaling_rotation`` (utils/general_utils.py:268-277).
+
+    Returns the full symmetric [N,3,3] matrix (XLA fuses; no need to pack
+    the 6 unique entries like the CUDA code does).
+    """
+    q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack([
+        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
+        jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
+        jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+    s = scales * scale_modifier
+    M = R * s[..., None, :]            # R @ diag(s)
+    return M @ jnp.swapaxes(M, -1, -2)  # R S S^T R^T
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    view: jnp.ndarray,
+    proj: jnp.ndarray,
+    tanfovx: float,
+    tanfovy: float,
+    width: int,
+    height: int,
+    tile_x: int = 16,
+    tile_y: int = 16,
+    mean2d_tap: Optional[jnp.ndarray] = None,
+    alive: Optional[jnp.ndarray] = None,
+) -> ProjectedGaussians:
+    """Project Gaussians into screen space.
+
+    Args:
+      means3d: [N,3] world positions.
+      cov3d:   [N,3,3] world covariance.
+      view, proj: [4,4] row-vector transforms.
+      mean2d_tap: optional [N,2] zeros whose gradient equals the NDC-space
+        screen gradient the reference accumulates for densification stats
+        (train.py:435-437, backward.cu:578-580 ddelx_dx scaling).
+      alive: optional [N] bool pool-liveness mask; dead slots are culled.
+
+    Returns ProjectedGaussians with static shapes.
+    """
+    focal_x = width / (2.0 * tanfovx)
+    focal_y = height / (2.0 * tanfovy)
+
+    ones = jnp.ones_like(means3d[..., :1])
+    p_hom4 = jnp.concatenate([means3d, ones], -1)
+
+    p_view = p_hom4 @ view               # [N,4]
+    depth = p_view[..., 2]
+
+    p_hom = p_hom4 @ proj                # [N,4]
+    p_w = 1.0 / (p_hom[..., 3] + 1e-7)
+    p_ndc = p_hom[..., :3] * p_w[..., None]
+    ndc_xy = p_ndc[..., :2]
+    if mean2d_tap is not None:
+        ndc_xy = ndc_xy + mean2d_tap
+    # ndc -> pixel (auxiliary.h:40-43)
+    sizes = jnp.asarray([width, height], dtype=means3d.dtype)
+    xy = ((ndc_xy + 1.0) * sizes - 1.0) * 0.5
+
+    # --- EWA: cov2d = J W Σ Wᵀ Jᵀ (forward.cu:74-113) ---
+    # W2C rotation: with row-vector convention, view[:3,:3] is R_w2c^T.
+    Rw2c = view[:3, :3].T                # [3,3] proper w2c rotation
+    # FOV-clamped view point (gradients through clip give the reference's
+    # x/y grad masks, backward.cu:175-176)
+    tz = depth
+    tx = jnp.clip(p_view[..., 0] / tz, -1.3 * tanfovx, 1.3 * tanfovx) * tz
+    ty = jnp.clip(p_view[..., 1] / tz, -1.3 * tanfovy, 1.3 * tanfovy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    zeros = jnp.zeros_like(tz)
+    # J: [N,2,3] Jacobian of perspective projection
+    J = jnp.stack([
+        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
+        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
+    ], -2)
+    T = J @ Rw2c                          # [N,2,3]
+    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)   # [N,2,2]
+    a = cov2d[..., 0, 0] + 0.3
+    c = cov2d[..., 1, 1] + 0.3
+    b = cov2d[..., 0, 1]
+
+    det = a * c - b * b
+    det_safe = jnp.where(det == 0.0, 1.0, det)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], -1)
+
+    mid = 0.5 * (a + c)
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+
+    # --- tile rectangle (auxiliary.h:46-56) ---
+    grid_x = (width + tile_x - 1) // tile_x
+    grid_y = (height + tile_y - 1) // tile_y
+    xy_ng = jax.lax.stop_gradient(xy)
+    r_ng = jax.lax.stop_gradient(radius_f)
+    x0 = jnp.clip(jnp.floor((xy_ng[..., 0] - r_ng) / tile_x), 0, grid_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy_ng[..., 1] - r_ng) / tile_y), 0, grid_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy_ng[..., 0] + r_ng + tile_x - 1) / tile_x), 0, grid_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy_ng[..., 1] + r_ng + tile_y - 1) / tile_y), 0, grid_y).astype(jnp.int32)
+
+    visible = (depth > 0.2) & (det > 0.0) & ((x1 - x0) * (y1 - y0) > 0)
+    if alive is not None:
+        visible = visible & alive
+
+    radius = jnp.where(visible, r_ng, 0.0).astype(jnp.int32)
+    tiles_rect = jnp.stack([x0, y0, x1, y1], -1)
+    return ProjectedGaussians(xy=xy, depth=depth, conic=conic, radius=radius,
+                              tiles_rect=tiles_rect, visible=visible)
+
+
+def sh_to_color(shs: jnp.ndarray, means3d: jnp.ndarray, campos: jnp.ndarray,
+                active_degree: int) -> jnp.ndarray:
+    """SH -> clamped RGB along the view direction.
+
+    Parity: the python convert_SHs path (gaussian_renderer/__init__.py:107-119):
+    ``clamp_min(eval_sh(deg, sh, dir) + 0.5, 0)``.  ``shs`` is [N, K, 3]
+    (coefficient-major like the reference's ``get_features``).
+    """
+    from s3gaussian_tpu.ops.sh import eval_sh
+
+    dirs = means3d - campos[None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    sh_view = jnp.swapaxes(shs, -1, -2)  # [N, 3, K]
+    rgb = eval_sh(active_degree, sh_view, dirs)
+    return jnp.maximum(rgb + 0.5, 0.0)
