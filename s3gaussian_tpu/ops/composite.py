@@ -9,37 +9,43 @@ Gaussians.  Within a chunk, alpha for all (gaussian, pixel) combinations is
 a [C, P] VPU computation; the sequential transmittance recursion
 ``T *= (1-α)`` becomes an *inclusive cumulative product* along the chunk
 axis, so the per-Gaussian compositing weight ``w_k = α_k·T_k`` is data
-parallel, and the color/depth accumulation is a [C,4]×[C,P] matmul on the
-MXU.  The CUDA early-exit ``T < 1e-4`` becomes (a) a per-contribution mask
-(identical semantics up to the frozen-T detail: the reference freezes T on
-the skipped Gaussian, we let it keep decaying — both stop contributing, so
-images agree to ~1e-4) and (b) a whole-chunk early exit in the Pallas
-kernel's while-loop.
+parallel, and the color/depth accumulation is a matmul on the MXU.
 
-The backward pass replays chunks in *forward* order, using the saved
-forward totals: for Gaussian k the suffix sum the CUDA backward builds
+Early-termination semantics are *exactly* the CUDA ones: a contribution is
+masked once the running transmittance would fall below 1e-4
+(``forward.cu:346-354``), and because T decays monotonically this stateless
+mask is equivalent to the CUDA per-pixel ``done`` flag.  The output
+``final_T`` is computed as ``1 - Σ w_k`` which telescopes to the product of
+``(1-α)`` over *contributing* Gaussians only — bit-matching the CUDA
+"frozen" final_T that multiplies the background.
+
+The backward replays chunks in forward order with a uniform 5-channel
+formulation (r, g, b, depth, and a ones-channel whose cotangent is
+``-d final_T``): for Gaussian k the suffix sum the CUDA backward builds
 back-to-front (``accum_rec``) is ``S_k = total − prefix_k``, with the
 prefix maintained as a running state plus a within-chunk cumulative sum.
+The ones-channel term ``d5·(T_k − S5_k/(1-α_k))`` is algebraically equal to
+the CUDA background term ``−T_final/(1−α_k)·(bg·dL)`` (backward.cu:570-575).
 Per-pair gradients are reduced over pixels on the MXU, then (outside the
 kernel) un-sorted into the dense [NR, rect_cap] layout and summed over the
 rect axis — replacing the CUDA backward's atomicAdds.
 
-This module holds the pure-jnp implementation (runs anywhere, is the
-ground truth the Pallas kernels are tested against) and the packing /
-unpacking helpers shared with the kernels.
+This module holds the pure-jnp implementation (runs anywhere, and is the
+oracle the Pallas kernels in ``tile_kernels.py`` are tested against) and
+the packing / unpacking helpers shared with the kernels.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 PAIR_FEAT_DIM = 16
-# feature column layout
+# feature column layout (column 10 is a constant 1.0: the Σw channel)
 FX, FY, FCA, FCB, FCC, FOP, FR, FG, FB, FD = range(10)
+FONE = 10
 N_OUT_ROWS = 8  # 0-2 rgb, 3 depth, 4 final_T, 5 n_contrib, 6-7 pad
 
 ALPHA_MIN = 1.0 / 255.0
@@ -51,10 +57,11 @@ def pack_pool_features(xy: jnp.ndarray, conic: jnp.ndarray,
                        opacity: jnp.ndarray, color: jnp.ndarray,
                        depth: jnp.ndarray) -> jnp.ndarray:
     """Pack per-Gaussian screen quantities into the [N, 16] feature rows the
-    compositor consumes (cols 10-15 are padding for lane alignment)."""
+    compositor consumes. Column FONE is the constant ones channel; trailing
+    columns are padding for lane alignment."""
     n = xy.shape[0]
-    parts = [xy, conic, opacity.reshape(n, 1), color,
-             depth.reshape(n, 1)]
+    parts = [xy, conic, opacity.reshape(n, 1), color, depth.reshape(n, 1),
+             jnp.ones((n, 1), xy.dtype)]
     feat = jnp.concatenate(parts, axis=-1)
     pad = jnp.zeros((n, PAIR_FEAT_DIM - feat.shape[-1]), feat.dtype)
     return jnp.concatenate([feat, pad], axis=-1)
@@ -91,29 +98,29 @@ def _chunk_alpha(feat: jnp.ndarray, valid: jnp.ndarray,
 
 
 def _chunk_forward(feat, valid, px, py, t_in):
-    """Composite one chunk. t_in: [1,P]. Returns (acc[4,P], nc[1,P], t_out[1,P])."""
+    """Composite one chunk. t_in: [1,P] decayed transmittance state.
+    Returns (acc5 [5,P] = rgb+depth+Σw, nc [1,P], t_out [1,P])."""
     am, _, _, _, _ = _chunk_alpha(feat, valid, px, py)
     one_m = 1.0 - am
     cum_incl = t_in * jnp.cumprod(one_m, axis=0)
     cum_excl = cum_incl / one_m
-    contrib = cum_incl >= T_EPS
-    w = jnp.where(contrib & (am > 0), am * cum_excl, 0.0)
-    rgbd = feat[:, FR:FD + 1]                                   # [C,4]
-    acc = jax.lax.dot_general(rgbd, w, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # [4,P]
-    nc = jnp.sum((w > 0).astype(jnp.float32), axis=0, keepdims=True)
+    contrib = (cum_incl >= T_EPS) & (am > 0)
+    w = jnp.where(contrib, am * cum_excl, 0.0)
+    rgbd1 = feat[:, FR:FONE + 1]                                # [C,5]
+    acc = jax.lax.dot_general(rgbd1, w, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [5,P]
+    nc = jnp.sum(contrib.astype(jnp.float32), axis=0, keepdims=True)
     t_out = cum_incl[-1:, :]
     return acc, nc, t_out
 
 
-def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals, t_final,
-                    d_rgbd, d_tfinal):
+def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals5, d5):
     """Backward for one chunk, replayed in forward order.
 
-    prefix_in / totals: [4,P] accumulated rgbd before this chunk / overall.
-    d_rgbd: [4,P] cotangent of the (pre-background) rgbd outputs.
-    d_tfinal: [1,P] cotangent of final transmittance (carries the
-      background term of backward.cu:570-575).
+    prefix_in / totals5: [5,P] accumulated (rgb, depth, Σw) before this
+    chunk / overall.  d5: [5,P] cotangents — rows 0-3 are the rgbd output
+    cotangent, row 4 is ``-d final_T``.
     Returns (pair_grads [C,16], prefix_out, t_out).
     """
     am, G, opac, dx, dy = _chunk_alpha(feat, valid, px, py)
@@ -123,33 +130,31 @@ def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals, t_final,
     contrib = (cum_incl >= T_EPS) & (am > 0)
     w = jnp.where(contrib, am * cum_excl, 0.0)
 
-    rgbd = feat[:, FR:FD + 1]                                   # [C,4]
+    rgbd1 = feat[:, FR:FONE + 1]                                # [C,5]
     # d color/depth: dL/dc_k,ch = w_k · dL_ch, summed over pixels
-    d_colors = jax.lax.dot_general(w, d_rgbd, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)  # [C,4]
+    d_colors = jax.lax.dot_general(w, d5, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)  # [C,5]
 
     # suffix sums S_k,ch = totals - prefix_in - inclusive-cumsum_k(c·w)
     # (the forward-order version of the CUDA accum_rec recursion)
-    contrib_ch = w[:, None, :] * rgbd[:, :, None]               # [C,4,P]
-    cums = jnp.cumsum(contrib_ch, axis=0)                       # [C,4,P]
-    suffix = (totals - prefix_in)[None] - cums                  # [C,4,P]
+    contrib_ch = w[:, None, :] * rgbd1[:, :, None]              # [C,5,P]
+    cums = jnp.cumsum(contrib_ch, axis=0)                       # [C,5,P]
+    suffix = (totals5 - prefix_in)[None] - cums                 # [C,5,P]
 
-    inv_one_m = 1.0 / one_m                                     # safe: ≥ 1/0.99 bounded, am<1
+    inv_one_m = 1.0 / one_m                                     # bounded: ≤ 100
     d_alpha = jnp.sum(
-        d_rgbd[None] * (rgbd[:, :, None] * cum_excl[:, None, :]
-                        - suffix * inv_one_m[:, None, :]),
+        d5[None] * (rgbd1[:, :, None] * cum_excl[:, None, :]
+                    - suffix * inv_one_m[:, None, :]),
         axis=1)                                                 # [C,P]
-    d_alpha = d_alpha + d_tfinal * (-t_final * inv_one_m)
     d_alpha = jnp.where(contrib, d_alpha, 0.0)
 
     d_opac = jnp.sum(G * d_alpha, axis=1)                       # [C]
     d_G = opac * d_alpha
     d_power = d_G * G
     ca, cb, cc = feat[:, FCA:FCA + 1], feat[:, FCB:FCB + 1], feat[:, FCC:FCC + 1]
-    d_dx = d_power * (-ca * dx - cb * dy)
-    d_dy = d_power * (-cc * dy - cb * dx)
-    d_x = jnp.sum(d_dx, axis=1)
-    d_y = jnp.sum(d_dy, axis=1)
+    d_x = jnp.sum(d_power * (-ca * dx - cb * dy), axis=1)
+    d_y = jnp.sum(d_power * (-cc * dy - cb * dx), axis=1)
     d_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=1)
     d_cb = jnp.sum(d_power * (-dx * dy), axis=1)
     d_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
@@ -159,7 +164,7 @@ def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals, t_final,
     grads = grads.at[:, FX].set(d_x).at[:, FY].set(d_y)
     grads = grads.at[:, FCA].set(d_ca).at[:, FCB].set(d_cb).at[:, FCC].set(d_cc)
     grads = grads.at[:, FOP].set(d_opac)
-    grads = grads.at[:, FR:FD + 1].set(d_colors)
+    grads = grads.at[:, FR:FD + 1].set(d_colors[:, 0:4])
 
     prefix_out = prefix_in + cums[-1]
     t_out = cum_incl[-1:, :]
@@ -167,14 +172,13 @@ def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals, t_final,
 
 
 # ---------------------------------------------------------------------------
-# pure-jnp tile loop (reference implementation & CPU fallback)
+# pure-jnp tile loop (oracle & CPU fallback)
 # ---------------------------------------------------------------------------
 
 def composite_tiles_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                         grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                         chunk: int, max_chunks: int) -> jnp.ndarray:
     """Forward compositing, vmapped over tiles. Returns [T, 8, P]."""
-    m = pair_feat.shape[0]
     p = tile_x * tile_y
     # pad so dynamic_slice never clamps into valid data
     feat_pad = jnp.concatenate(
@@ -193,11 +197,12 @@ def composite_tiles_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
             a, n, t2 = _chunk_forward(featc, valid, px, py, t)
             return (acc + a, nc + n, t2), None
 
-        init = (jnp.zeros((4, p)), jnp.zeros((1, p)), jnp.ones((1, p)))
-        (acc, nc, t), _ = jax.lax.scan(body, init,
+        init = (jnp.zeros((5, p)), jnp.zeros((1, p)), jnp.ones((1, p)))
+        (acc, nc, _), _ = jax.lax.scan(body, init,
                                        jnp.arange(max_chunks, dtype=jnp.int32))
+        final_t = 1.0 - acc[4:5]
         zeros = jnp.zeros((2, p))
-        return jnp.concatenate([acc, t, nc, zeros], axis=0)  # [8,P]
+        return jnp.concatenate([acc[0:4], final_t, nc, zeros], axis=0)  # [8,P]
 
     n_tiles = grid_x * grid_y
     starts = tile_starts[:-1]
@@ -216,10 +221,8 @@ def composite_tiles_bwd_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
 
     def tile_fn(tile_index, start, count, out_t, dout_t):
         px, py = tile_pixel_coords(grid_x, tile_x, tile_y, tile_index)
-        totals = out_t[0:4]
-        t_final = out_t[4:5]
-        d_rgbd = dout_t[0:4]
-        d_tfinal = dout_t[4:5]
+        totals5 = jnp.concatenate([out_t[0:4], 1.0 - out_t[4:5]], axis=0)
+        d5 = jnp.concatenate([dout_t[0:4], -dout_t[4:5]], axis=0)
 
         def body(carry, ci):
             prefix, t = carry
@@ -229,11 +232,11 @@ def composite_tiles_bwd_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
             idx = ci * chunk + jnp.arange(chunk)
             valid = (idx < count)[:, None]
             g, prefix2, t2 = _chunk_backward(featc, valid, px, py, t, prefix,
-                                             totals, t_final, d_rgbd, d_tfinal)
+                                             totals5, d5)
             return (prefix2, t2), g
 
         p = tile_x * tile_y
-        init = (jnp.zeros((4, p)), jnp.ones((1, p)))
+        init = (jnp.zeros((5, p)), jnp.ones((1, p)))
         _, grads = jax.lax.scan(body, init,
                                 jnp.arange(max_chunks, dtype=jnp.int32))
         return grads  # [max_chunks, C, 16]

@@ -1,0 +1,385 @@
+"""Pallas TPU kernels for tile compositing.
+
+TPU counterparts of ``renderCUDA`` forward (``forward.cu:261-379``) and
+backward (``backward.cu:416-590``).  The math matches the jnp oracle in
+``ops/composite.py`` (same masking / final_T = 1-Σw semantics, which are
+exactly the CUDA early-termination semantics); the kernels add:
+
+  * one grid step per tile, with the tile's [start, end) range of the
+    depth-sorted pair stream scalar-prefetched from SMEM (the analog of
+    the CUDA ``ranges`` array);
+  * the pair stream lives in HBM as [NB, 16, 128] blocks — 16 feature rows
+    by 128 pairs on the lane axis — because TPU DMA requires 128-aligned
+    lane slices; tiles iterate the block range covering [start, end) and
+    mask pairs outside it (≤1 wasted block per tile boundary);
+  * double-buffered async DMA of blocks while the VPU composites the
+    previous one (the analog of the CUDA collaborative shared-memory
+    fetch, forward.cu:296-325);
+  * a while-loop with whole-tile early exit once every pixel's (decayed)
+    transmittance drops below 1e-4 (the analog of the per-block
+    ``__syncthreads_count(done)`` vote, forward.cu:312-314);
+  * cumulative products along the 128-pair lane axis via a triangular
+    [128,128] MXU contraction (Mosaic has no cumsum lowering);
+  * the backward read-modify-writes per-block gradient tiles in HBM —
+    boundary blocks are shared by two consecutive tiles, and the grid is
+    declared sequential ("arbitrary") so the accumulation is race-free —
+    replacing the CUDA atomicAdds.
+
+Pixels sit on the sublane axis ([P, 128] alpha arrays) and pairs on the
+lane axis; color/gradient accumulation contracts the pair axis on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from s3gaussian_tpu.ops.composite import (ALPHA_MAX, ALPHA_MIN,
+                                          N_OUT_ROWS, PAIR_FEAT_DIM, T_EPS,
+                                          FX, FY, FCA, FCB, FCC, FOP, FR,
+                                          FD, FONE)
+
+BLK = 128  # pairs per stream block == kernel chunk size
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pixel_cols(tile_index, grid_x: int, tile_x: int, tile_y: int):
+    """Pixel coordinates as [P, 1] columns for a tile index."""
+    p = tile_x * tile_y
+    row = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    ty = tile_index // grid_x
+    tx = tile_index % grid_x
+    px = (tx * tile_x + row % tile_x).astype(jnp.float32)
+    py = (ty * tile_y + row // tile_x).astype(jnp.float32)
+    return px, py
+
+
+def _tri_incl(c: int):
+    """[C,C] upper-triangular ones (incl. diagonal): x[P,C] @ tri gives the
+    inclusive prefix along lanes. Mosaic has no cumsum lowering; one MXU
+    contraction per chunk is effectively free at C=128."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (c, c), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (c, c), 1)
+    return (row <= col).astype(jnp.float32)
+
+
+def _cumsum_lane(x):
+    c = x.shape[1]
+    return jax.lax.dot_general(x, _tri_incl(c), (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _cumprod_lane(x):
+    """x ∈ (0, 1]; masked alphas give exactly 1.0, so log is finite."""
+    return jnp.exp(_cumsum_lane(jnp.log(x)))
+
+
+def _block_alpha(feat, valid, px, py):
+    """Alpha math for one block. feat: [16, C] feature rows; valid [1, C];
+    px/py [P, 1]. Returns [P, C] arrays (+ [1, C] rows)."""
+    dx = feat[FX:FX + 1, :] - px        # [P,C] via broadcast
+    dy = feat[FY:FY + 1, :] - py
+    ca, cb, cc = feat[FCA:FCA + 1, :], feat[FCB:FCB + 1, :], feat[FCC:FCC + 1, :]
+    opac = feat[FOP:FOP + 1, :]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    G = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, opac * G)
+    am = jnp.where((power > 0) | (alpha < ALPHA_MIN) | (~valid), 0.0, alpha)
+    return am, G, opac, dx, dy, ca, cb, cc
+
+
+def pack_blocks(pair_feat: jnp.ndarray) -> jnp.ndarray:
+    """[M,16] sorted pair stream -> [NB,16,BLK] feature-row blocks."""
+    m = pair_feat.shape[0]
+    nb = -(-m // BLK)
+    padded = jnp.concatenate(
+        [pair_feat,
+         jnp.zeros((nb * BLK - m, PAIR_FEAT_DIM), pair_feat.dtype)], 0)
+    return padded.reshape(nb, BLK, PAIR_FEAT_DIM).transpose(0, 2, 1)
+
+
+def unpack_blocks(blocks: jnp.ndarray, m: int) -> jnp.ndarray:
+    """[NB,16,BLK] -> [M,16]."""
+    nb = blocks.shape[0]
+    return blocks.transpose(0, 2, 1).reshape(nb * BLK, PAIR_FEAT_DIM)[:m]
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
+                *, grid_x: int, tile_x: int, tile_y: int):
+    t = pl.program_id(0)
+    start = tile_starts[t]
+    end = tile_starts[t + 1]
+    b0 = start // BLK
+    b1 = pl.cdiv(end, BLK)
+    px, py = _pixel_cols(t, grid_x, tile_x, tile_y)
+    p = tile_x * tile_y
+
+    def dma(slot, b):
+        return pltpu.make_async_copy(feat_hbm.at[b],
+                                     chunkbuf.at[slot], sems.at[slot])
+
+    @pl.when(b1 > b0)
+    def _():
+        dma(0, b0).start()
+
+    def cond(state):
+        b, t_col, _, _ = state
+        return (b < b1) & (jnp.max(t_col) >= T_EPS)
+
+    def body(state):
+        b, t_col, acc, nc = state
+        slot = (b - b0) % 2
+
+        @pl.when(b + 1 < b1)
+        def _():
+            dma((slot + 1) % 2, b + 1).start()
+
+        dma(slot, b).wait()
+        feat = chunkbuf[slot, :, :]                # [16, C]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + b * BLK
+        valid = (gidx >= start) & (gidx < end)
+        am, _, _, _, _, _, _, _ = _block_alpha(feat, valid, px, py)
+        one_m = 1.0 - am                           # [P,C]
+        cum_incl = t_col * _cumprod_lane(one_m)
+        cum_excl = cum_incl / one_m
+        contrib = (cum_incl >= T_EPS) & (am > 0)
+        w = jnp.where(contrib, am * cum_excl, 0.0)  # [P,C]
+        rgbd1 = feat[FR:FONE + 1, :]                # [5,C]
+        acc = acc + jax.lax.dot_general(
+            rgbd1, w, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)     # [5,P]
+        ones_row = jnp.ones((1, BLK), jnp.float32)
+        nc = nc + jax.lax.dot_general(
+            ones_row, contrib.astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)     # [1,P]
+        t_col = cum_incl[:, BLK - 1:BLK]
+        return b + 1, t_col, acc, nc
+
+    init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32),
+            jnp.zeros((1, p), jnp.float32))
+    b_final, _, acc, nc = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed DMA after an early exit
+    @pl.when(b_final < b1)
+    def _():
+        dma((b_final - b0) % 2, b_final).wait()
+
+    out_ref[0, 0:4, :] = acc[0:4, :]
+    out_ref[0, 4:5, :] = 1.0 - acc[4:5, :]
+    out_ref[0, 5:6, :] = nc
+    out_ref[0, 6:8, :] = jnp.zeros((2, p), jnp.float32)
+
+
+def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
+                         grid_x: int, grid_y: int, tile_x: int, tile_y: int,
+                         chunk: int = BLK) -> jnp.ndarray:
+    """pair_feat [M,16] (sorted pair stream), tile_starts [T+1] -> [T,8,P]."""
+    del chunk  # the block layout fixes the chunk at BLK
+    n_tiles = grid_x * grid_y
+    p = tile_x * tile_y
+    blocks = pack_blocks(pair_feat)
+
+    kernel = functools.partial(_fwd_kernel, grid_x=grid_x,
+                               tile_x=tile_x, tile_y=tile_y)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((1, N_OUT_ROWS, p), lambda i, s: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, PAIR_FEAT_DIM, BLK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles, N_OUT_ROWS, p), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(tile_starts, blocks)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
+                grads_hbm, gbuf, gprev, chunkbuf, sems, wsem, rsem,
+                *, grid_x: int, tile_x: int, tile_y: int):
+    del ginit_hbm  # aliased to grads_hbm; zero-initialized by the caller
+    t = pl.program_id(0)
+    start = tile_starts[t]
+    end = tile_starts[t + 1]
+    b0 = start // BLK
+    b1 = pl.cdiv(end, BLK)
+    px, py = _pixel_cols(t, grid_x, tile_x, tile_y)
+    p = tile_x * tile_y
+
+    # transposed [P, 8] views of forward outputs / cotangents
+    totals5 = jnp.concatenate(
+        [outt_ref[0, :, 0:4], 1.0 - outt_ref[0, :, 4:5]], axis=1)   # [P,5]
+    d5 = jnp.concatenate(
+        [doutt_ref[0, :, 0:4], -doutt_ref[0, :, 4:5]], axis=1)      # [P,5]
+
+    def dma_in(slot, b):
+        return pltpu.make_async_copy(feat_hbm.at[b],
+                                     chunkbuf.at[slot], sems.at[slot])
+
+    @pl.when(b1 > b0)
+    def _():
+        dma_in(0, b0).start()
+
+    def body(state):
+        b, t_col, prefix = state
+        slot = (b - b0) % 2
+
+        @pl.when(b + 1 < b1)
+        def _():
+            dma_in((slot + 1) % 2, b + 1).start()
+
+        dma_in(slot, b).wait()
+        feat = chunkbuf[slot, :, :]                 # [16,C]
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + b * BLK
+        valid = (gidx >= start) & (gidx < end)
+        am, G, opac, dx, dy, ca, cb, cc = _block_alpha(feat, valid, px, py)
+        one_m = 1.0 - am
+        cum_incl = t_col * _cumprod_lane(one_m)
+        cum_excl = cum_incl / one_m
+        contrib = (cum_incl >= T_EPS) & (am > 0)
+        w = jnp.where(contrib, am * cum_excl, 0.0)  # [P,C]
+
+        # dL/dc per channel: [5, C] = d5^T-contracted-with-w over pixels
+        d_colors = jax.lax.dot_general(
+            d5, w, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)     # [5,C]
+
+        inv_one_m = 1.0 / one_m
+        d_alpha = jnp.zeros((p, BLK), jnp.float32)
+        new_prefix_cols = []
+        for ch in range(5):
+            c_row = feat[FR + ch:FR + ch + 1, :]            # [1,C]
+            contrib_ch = w * c_row
+            cums = _cumsum_lane(contrib_ch)                  # [P,C]
+            suffix = (totals5[:, ch:ch + 1] - prefix[:, ch:ch + 1]) - cums
+            d_alpha = d_alpha + d5[:, ch:ch + 1] * (
+                c_row * cum_excl - suffix * inv_one_m)
+            new_prefix_cols.append(prefix[:, ch:ch + 1]
+                                   + cums[:, BLK - 1:BLK])
+        d_alpha = jnp.where(contrib, d_alpha, 0.0)
+        prefix = jnp.concatenate(new_prefix_cols, axis=1)
+
+        d_G = opac * d_alpha
+        d_power = d_G * G
+        ones_p = jnp.ones((1, p), jnp.float32)
+
+        def psum(x):  # [P,C] -> [1,C] pixel reduction on the MXU
+            return jax.lax.dot_general(ones_p, x, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+
+        gbuf[:, :] = jnp.zeros((PAIR_FEAT_DIM, BLK), jnp.float32)
+        gbuf[FX:FX + 1, :] = psum(d_power * (-ca * dx - cb * dy))
+        gbuf[FY:FY + 1, :] = psum(d_power * (-cc * dy - cb * dx))
+        gbuf[FCA:FCA + 1, :] = psum(d_power * (-0.5 * dx * dx))
+        gbuf[FCB:FCB + 1, :] = psum(d_power * (-dx * dy))
+        gbuf[FCC:FCC + 1, :] = psum(d_power * (-0.5 * dy * dy))
+        gbuf[FOP:FOP + 1, :] = psum(G * d_alpha)
+        gbuf[FR:FD + 1, :] = d_colors[0:4, :]
+
+        # read-modify-write: boundary blocks are shared with the previous /
+        # next tile (grid is sequential, so this is race-free)
+        rdma = pltpu.make_async_copy(grads_hbm.at[b], gprev, rsem)
+        rdma.start()
+        rdma.wait()
+        gbuf[:, :] = gbuf[:, :] + gprev[:, :]
+        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[b], wsem)
+        wdma.start()
+        wdma.wait()
+
+        t_col = cum_incl[:, BLK - 1:BLK]
+        return b + 1, t_col, prefix
+
+    def cond(state):
+        b, t_col, _ = state
+        return (b < b1) & (jnp.max(t_col) >= T_EPS)
+
+    init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 5), jnp.float32))
+    b_final, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetched-but-unconsumed DMA after an early exit
+    @pl.when(b_final < b1)
+    def _():
+        dma_in((b_final - b0) % 2, b_final).wait()
+
+
+def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
+                         out_fwd: jnp.ndarray, dout: jnp.ndarray,
+                         grid_x: int, grid_y: int, tile_x: int, tile_y: int,
+                         chunk: int = BLK) -> jnp.ndarray:
+    """Per-pair gradients [M,16] in sorted-pair order.
+
+    Early-exited blocks have exactly-zero gradients and are simply never
+    accumulated into (the output starts from donated zeros).  Rows past the
+    global valid range are masked by the caller.
+    """
+    del chunk
+    n_tiles = grid_x * grid_y
+    p = tile_x * tile_y
+    m = pair_feat.shape[0]
+    blocks = pack_blocks(pair_feat)
+    nb = blocks.shape[0]
+    out_t = out_fwd.transpose(0, 2, 1)   # [T, P, 8]
+    dout_t = dout.transpose(0, 2, 1)
+    grads_init = jnp.zeros((nb, PAIR_FEAT_DIM, BLK), jnp.float32)
+
+    kernel = functools.partial(_bwd_kernel, grid_x=grid_x,
+                               tile_x=tile_x, tile_y=tile_y)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),                 # pair blocks
+            pl.BlockSpec((1, p, N_OUT_ROWS), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # fwd out^T
+            pl.BlockSpec((1, p, N_OUT_ROWS), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),             # dout^T
+            pl.BlockSpec(memory_space=pl.ANY),                 # grads init
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((PAIR_FEAT_DIM, BLK), jnp.float32),     # grad buf
+            pltpu.VMEM((PAIR_FEAT_DIM, BLK), jnp.float32),     # rmw buf
+            pltpu.VMEM((2, PAIR_FEAT_DIM, BLK), jnp.float32),  # chunk buf
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    grads = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb, PAIR_FEAT_DIM, BLK), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True),
+        input_output_aliases={4: 0},
+        interpret=_interpret(),
+    )(tile_starts, blocks, out_t, dout_t, grads_init)
+    return unpack_blocks(grads, m)

@@ -100,11 +100,12 @@ def render_brute(means, cov3d, colors, opacity, view, proj, tanfovx, tanfovy,
                 if alpha < ALPHA_MIN:
                     continue
                 t_new = T * (1 - alpha)
-                if t_new >= T_EPS:
-                    wgt = alpha * T
-                    img[:, py, px] += colors[i] * wgt
-                    dep[py, px] += pr["depth"][i] * wgt
-                    ncontrib[py, px] += 1
+                if t_new < T_EPS:
+                    break  # CUDA 'done' flag (forward.cu:349-353)
+                wgt = alpha * T
+                img[:, py, px] += colors[i] * wgt
+                dep[py, px] += pr["depth"][i] * wgt
+                ncontrib[py, px] += 1
                 T = t_new
             final_T[py, px] = T
             img[:, py, px] += T * bg
