@@ -68,6 +68,7 @@ class ModelParams:
     # shorthand on the CLI.  We record them here.
     _shorthand = ("source_path", "model_path", "images", "resolution",
                   "white_background")
+    __hash__ = object.__hash__
 
 
 @dataclass
@@ -79,6 +80,7 @@ class PipelineParams:
     debug: bool = False
 
     _shorthand = ()
+    __hash__ = object.__hash__
 
 
 @dataclass
@@ -151,6 +153,7 @@ class OptimizationParams:
     alpha_mask_threshold: float = 0.8
 
     _shorthand = ()
+    __hash__ = object.__hash__
 
 
 @dataclass
@@ -189,6 +192,7 @@ class ModelHiddenParams:
     apply_rotation: bool = False
 
     _shorthand = ()
+    __hash__ = object.__hash__
 
 
 @dataclass
@@ -204,6 +208,8 @@ class RasterConfig:
     rect_h: int = 5            # per-gaussian tile-rect cap (height, tiles)
     chunk: int = 128           # gaussians composited per kernel chunk
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
+
+    __hash__ = object.__hash__
 
     @property
     def rect_cap(self) -> int:

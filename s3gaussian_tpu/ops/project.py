@@ -111,8 +111,10 @@ def project_gaussians(
     # W2C rotation: with row-vector convention, view[:3,:3] is R_w2c^T.
     Rw2c = view[:3, :3].T                # [3,3] proper w2c rotation
     # FOV-clamped view point (gradients through clip give the reference's
-    # x/y grad masks, backward.cu:175-176)
-    tz = depth
+    # x/y grad masks, backward.cu:175-176).  tz is clamped away from zero:
+    # culled rows (z ≤ 0.2, incl. dead pool slots at the origin) would
+    # otherwise produce inf Jacobians whose 0-cotangent VJPs turn into NaN.
+    tz = jnp.where(depth > 0.2, depth, 1.0)
     tx = jnp.clip(p_view[..., 0] / tz, -1.3 * tanfovx, 1.3 * tanfovx) * tz
     ty = jnp.clip(p_view[..., 1] / tz, -1.3 * tanfovy, 1.3 * tanfovy) * tz
 
@@ -171,7 +173,10 @@ def sh_to_color(shs: jnp.ndarray, means3d: jnp.ndarray, campos: jnp.ndarray,
     from s3gaussian_tpu.ops.sh import eval_sh
 
     dirs = means3d - campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    # clamped norm: dead pool slots can sit exactly at the camera origin,
+    # and 0/0 here would poison gradients of every upstream parameter
+    dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
+                              1e-8)
     sh_view = jnp.swapaxes(shs, -1, -2)  # [N, 3, K]
     rgb = eval_sh(active_degree, sh_view, dirs)
     return jnp.maximum(rgb + 0.5, 0.0)

@@ -1,0 +1,131 @@
+"""Scene rendering — the analog of ``gaussian_renderer/__init__.py:render``.
+
+Coarse stage rasterizes the raw pool; fine stage routes raw attributes
+through the deformation field first, then applies activations (the
+reference order: deformation on *pre-activation* values,
+gaussian_renderer/__init__.py:82-101).  Optional second pass renders the
+3-channel DINO feature head as colors (:153-166), and the dynamic/static
+decomposition re-renders the pool masked by |dx| > mean (:168-204) — with
+the fixed-capacity pool these are alive-mask variations, not dynamic-shape
+subsets.
+
+Returned dict keys mirror the reference so downstream losses/eval port
+directly: render, depth, radii, visibility_filter, viewspace_points (the
+NDC gradient tap), dx, dshs, feat, render_d/depth_d, render_s/depth_s.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from s3gaussian_tpu.config import ModelHiddenParams, PipelineParams, RasterConfig
+from s3gaussian_tpu.data.cameras import Camera
+from s3gaussian_tpu.models.deformation import apply_deformation
+from s3gaussian_tpu.models.pool import GaussianPool
+from s3gaussian_tpu.ops.project import sh_to_color
+from s3gaussian_tpu.ops.rasterizer import RasterSettings, rasterize
+
+
+def make_settings(camera: Camera, bg: jnp.ndarray, sh_degree: int,
+                  scaling_modifier: float = 1.0) -> RasterSettings:
+    return RasterSettings(
+        image_height=camera.image_height, image_width=camera.image_width,
+        tanfovx=camera.tanfovx, tanfovy=camera.tanfovy, bg=bg,
+        scale_modifier=scaling_modifier, viewmatrix=camera.world_view,
+        projmatrix=camera.full_proj, sh_degree=sh_degree,
+        campos=camera.campos)
+
+
+def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
+           hp: ModelHiddenParams, pipe: PipelineParams, bg: jnp.ndarray,
+           aabb: Optional[jnp.ndarray] = None, active_sh_degree: int = 3,
+           stage: str = "fine", scaling_modifier: float = 1.0,
+           override_color: Optional[jnp.ndarray] = None,
+           return_decomposition: bool = False, return_dx: bool = False,
+           render_feat: bool = False,
+           mean2d_tap: Optional[jnp.ndarray] = None,
+           cfg: RasterConfig = RasterConfig(),
+           use_custom_vjp: bool = True) -> Dict[str, Any]:
+    xyz = pool.xyz
+    shs = pool.get_features()
+    dx = dshs = feat = None
+
+    if "coarse" in stage:
+        xyz_f, scales_f, rot_f, op_f, shs_f = (xyz, pool.scaling,
+                                               pool.rotation, pool.opacity,
+                                               shs)
+    elif "fine" in stage:
+        t = jnp.broadcast_to(camera.time.reshape(1, 1), (xyz.shape[0], 1))
+        out = apply_deformation(deform_params, hp, aabb, xyz, pool.scaling,
+                                pool.rotation, pool.opacity, shs, t)
+        xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,
+                                               out.rotations, out.opacity,
+                                               out.shs)
+        dx, feat, dshs = out.dx, out.feat, out.dshs
+    else:
+        raise NotImplementedError(stage)
+
+    scales_act = jnp.exp(scales_f)
+    rot_act = rot_f / jnp.linalg.norm(rot_f, axis=-1, keepdims=True)
+    op_act = jax.nn.sigmoid(op_f)
+
+    if override_color is not None:
+        colors = override_color
+    elif pipe.convert_SHs_python:
+        # reference quirk: view dirs from the *undeformed* positions
+        # (gaussian_renderer/__init__.py:115)
+        colors = sh_to_color(shs_f, xyz, camera.campos, active_sh_degree)
+    else:
+        colors = None
+
+    settings = make_settings(camera, bg, active_sh_degree, scaling_modifier)
+
+    def rast(alive_mask):
+        return rasterize(settings, xyz_f, op_act[:, 0], scales=scales_act,
+                         rotations=rot_act,
+                         shs=None if colors is not None else shs_f,
+                         colors_precomp=colors, mean2d_tap=mean2d_tap,
+                         alive=alive_mask, cfg=cfg,
+                         use_custom_vjp=use_custom_vjp)
+
+    color, radii, depth, aux = rast(pool.alive)
+    result: Dict[str, Any] = {
+        "render": color,
+        "depth": depth,
+        "radii": radii,
+        "visibility_filter": radii > 0,
+        "raster_aux": aux,
+    }
+
+    if render_feat and "fine" in stage and feat is not None:
+        feat_color, _, _, _ = rasterize(
+            settings, jax.lax.stop_gradient(xyz_f), op_act[:, 0],
+            scales=scales_act, rotations=rot_act, colors_precomp=feat,
+            alive=pool.alive, cfg=cfg, use_custom_vjp=use_custom_vjp)
+        result["feat"] = feat_color
+
+    if return_decomposition and dx is not None:
+        dx_abs = jnp.abs(dx)
+        mx = jnp.max(dx_abs, axis=1)
+        denom = jnp.maximum(jnp.sum(pool.alive), 1)
+        thr = jnp.sum(jnp.where(pool.alive, mx, 0.0)) / denom
+        dyn = (mx > thr) & pool.alive
+        color_d, radii_d, depth_d, _ = rast(dyn)
+        color_s, radii_s, depth_s, _ = rast(pool.alive & ~dyn)
+        result.update({
+            "render_d": color_d, "depth_d": depth_d,
+            "visibility_filter_d": radii_d > 0,
+            "render_s": color_s, "depth_s": depth_s,
+            "visibility_filter_s": radii_s > 0,
+            "dynamic_mask": dyn,
+        })
+
+    if return_dx and "fine" in stage:
+        result["dx"] = dx
+        result["dshs"] = dshs
+
+    return result

@@ -1,0 +1,253 @@
+"""Training: jitted step, density control, and the two-stage loop.
+
+Parity target: ``scene_reconstruction`` (train.py:217-551) — identical
+loss structure, schedules and density-control cadence:
+
+  loss = L1(rgb)
+       + λ_dx·mean|dx| + λ_dshs·mean|dshs|              (fine)
+       + λ_depth·masked-L2(normalized depth)
+       + hexplane TV/time/L1 regs                       (fine)
+       + λ_dssim·(1−SSIM)
+       + λ_feat·L2(feat, dino_gt)                       (fine, feat_head)
+
+TPU-first differences:
+  * the whole step (render fwd+bwd, Adam, stat accumulation) is ONE
+    compiled program over the fixed-capacity pool;
+  * densify/prune/opacity-reset are separate jitted programs called at the
+    reference cadence — no recompiles, shapes never change;
+  * the NaN watchdog skips the update instead of re-exec'ing the process
+    (train.py:432-434);
+  * the dx / dshs regularizers mask dead pool slots.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
+                                   PipelineParams, RasterConfig)
+from s3gaussian_tpu.data.cameras import Camera
+from s3gaussian_tpu.models import hexplane as hx
+from s3gaussian_tpu.models.pool import (GaussianPool, PoolStats,
+                                        add_densification_stats,
+                                        densify_and_prune, reset_opacity)
+from s3gaussian_tpu.render.renderer import render
+from s3gaussian_tpu.train.losses import depth_loss, l1_loss, l2_loss, psnr, ssim
+from s3gaussian_tpu.train.lr import expon_lr
+from s3gaussian_tpu.train.optim import AdamState, adam_update, init_adam, path_group
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class TrainState:
+    pool: GaussianPool
+    deform: Dict[str, Any]
+    adam: AdamState
+    stats: PoolStats
+    step: jnp.ndarray
+    aabb: jnp.ndarray
+    nan_skips: jnp.ndarray
+
+
+def init_state(pool: GaussianPool, deform_params: Dict[str, Any],
+               aabb: jnp.ndarray) -> TrainState:
+    params = {"pool": pool.param_dict(), "deform": deform_params}
+    return TrainState(pool=pool, deform=deform_params,
+                      adam=init_adam(params), stats=PoolStats.zeros(pool.capacity),
+                      step=jnp.zeros((), jnp.int32), aabb=aabb,
+                      nan_skips=jnp.zeros((), jnp.int32))
+
+
+def lr_dict(step, opt: OptimizationParams, spatial_lr_scale: float):
+    """Scheduled per-group learning rates (gaussian_model.py:186-218)."""
+    s = spatial_lr_scale
+    return {
+        "xyz": expon_lr(step, opt.position_lr_init * s,
+                        opt.position_lr_final * s,
+                        lr_delay_mult=opt.position_lr_delay_mult,
+                        max_steps=opt.position_lr_max_steps),
+        "deformation": expon_lr(step, opt.deformation_lr_init * s,
+                                opt.deformation_lr_final * s,
+                                lr_delay_mult=opt.deformation_lr_delay_mult,
+                                max_steps=opt.position_lr_max_steps),
+        "grid": expon_lr(step, opt.grid_lr_init * s, opt.grid_lr_final * s,
+                         lr_delay_mult=opt.deformation_lr_delay_mult,
+                         max_steps=opt.position_lr_max_steps),
+        "f_dc": jnp.asarray(opt.feature_lr),
+        "f_rest": jnp.asarray(opt.feature_lr / 20.0),
+        "opacity": jnp.asarray(opt.opacity_lr),
+        "scaling": jnp.asarray(opt.scaling_lr),
+        "rotation": jnp.asarray(opt.rotation_lr),
+    }
+
+
+def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
+                 camera: Camera, stage: str, active_sh_degree: int,
+                 hp: ModelHiddenParams, opt: OptimizationParams,
+                 pipe: PipelineParams, aabb, bg, cfg: RasterConfig,
+                 use_custom_vjp: bool = True):
+    pool = GaussianPool(
+        xyz=params["pool"]["xyz"], features_dc=params["pool"]["f_dc"],
+        features_rest=params["pool"]["f_rest"],
+        scaling=params["pool"]["scaling"],
+        rotation=params["pool"]["rotation"],
+        opacity=params["pool"]["opacity"], alive=alive)
+    fine = "fine" in stage
+    want_feat = fine and hp.feat_head and camera.feat_map is not None
+    pkg = render(camera, pool, params["deform"], hp, pipe, bg, aabb,
+                 active_sh_degree, stage=stage, return_dx=True,
+                 render_feat=want_feat, mean2d_tap=tap, cfg=cfg,
+                 use_custom_vjp=use_custom_vjp)
+
+    gt = camera.image.transpose(2, 0, 1)  # [3,H,W]
+    loss = l1_loss(pkg["render"], gt)
+    metrics = {"l1": loss, "psnr": psnr(pkg["render"], gt)}
+
+    n_alive = jnp.maximum(jnp.sum(alive), 1)
+    if fine and not hp.no_dx and opt.lambda_dx != 0:
+        dx_l = jnp.sum(jnp.where(alive[:, None], jnp.abs(pkg["dx"]), 0.0)) \
+            / (n_alive * 3)
+        loss = loss + opt.lambda_dx * dx_l
+        metrics["dx"] = dx_l
+    if fine and not hp.no_dshs and opt.lambda_dshs != 0:
+        dshs_l = jnp.sum(jnp.where(alive[:, None, None],
+                                   jnp.abs(pkg["dshs"]), 0.0)) / (n_alive * 48)
+        loss = loss + opt.lambda_dshs * dshs_l
+    if opt.lambda_depth != 0 and camera.depth_map is not None:
+        dl = depth_loss(pkg["depth"], camera.depth_map, "l2")
+        loss = loss + opt.lambda_depth * dl
+        metrics["depth"] = dl
+    if fine and hp.time_smoothness_weight != 0:
+        reg = hx.compute_regulation(params["deform"]["grid"],
+                                    len(hp.multires),
+                                    hp.time_smoothness_weight,
+                                    hp.l1_time_planes, hp.plane_tv_weight)
+        loss = loss + reg
+        metrics["reg"] = reg
+    if opt.lambda_dssim != 0:
+        s = ssim(pkg["render"], gt)
+        loss = loss + opt.lambda_dssim * (1.0 - s)
+        metrics["ssim"] = s
+    if want_feat:
+        gt_feat = camera.feat_map.transpose(2, 0, 1)
+        fl = l2_loss(pkg["feat"], gt_feat) * opt.lambda_feat
+        loss = loss + fl
+        metrics["feat"] = fl
+
+    metrics["loss"] = loss
+    aux = {"radii": pkg["radii"],
+           "visible": pkg["raster_aux"]["visible"],
+           "n_pairs": pkg["raster_aux"]["n_pairs"],
+           "overflow_rect": pkg["raster_aux"]["overflow_rect"],
+           "overflow_visible": pkg["raster_aux"]["overflow_visible"],
+           "metrics": metrics}
+    return loss, aux
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
+    "spatial_lr_scale", "use_custom_vjp"))
+def train_step(state: TrainState, camera: Camera, stage: str,
+               active_sh_degree: int, hp: ModelHiddenParams,
+               opt: OptimizationParams, pipe: PipelineParams,
+               cfg: RasterConfig, spatial_lr_scale: float, bg: jnp.ndarray,
+               use_custom_vjp: bool = True):
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    (loss, aux), grads = jax.value_and_grad(
+        compute_loss, argnums=(0, 1), has_aux=True)(
+            params, tap, state.pool.alive, camera, stage, active_sh_degree,
+            hp, opt, pipe, state.aabb, bg, cfg, use_custom_vjp)
+    pgrads, tap_grad = grads
+
+    # dead pool slots must never move (their placeholder values keep all
+    # downstream math finite), so mask their gradients row-wise
+    alive = state.pool.alive
+    pgrads["pool"] = {
+        k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
+        for k, v in pgrads["pool"].items()}
+
+    # NaN watchdog: skip the whole update on a non-finite loss (zero grads
+    # AND zero lr so stale Adam momentum can't move parameters either)
+    finite = jnp.isfinite(loss)
+    pgrads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
+
+    fin = finite.astype(jnp.float32)
+    lrs = {k: v * fin for k, v in
+           lr_dict(state.step, opt, spatial_lr_scale).items()}
+    new_params, new_adam = adam_update(
+        params, pgrads, state.adam,
+        lr_for_leaf=lambda path: lrs[path_group(path)])
+
+    new_pool = state.pool.with_params(new_params["pool"])
+    new_stats = add_densification_stats(state.stats, tap_grad, aux["radii"],
+                                        aux["visible"])
+    new_state = TrainState(pool=new_pool, deform=new_params["deform"],
+                           adam=new_adam, stats=new_stats,
+                           step=state.step + 1, aabb=state.aabb,
+                           nan_skips=state.nan_skips
+                           + (1 - finite.astype(jnp.int32)))
+    return new_state, aux
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "max_screen_size",
+                                              "scene_extent"))
+def densify_step(state: TrainState, rng: jax.Array,
+                 grad_threshold, opacity_threshold,
+                 scene_extent: float, max_screen_size,
+                 opt: OptimizationParams):
+    """Clone+split+prune with Adam-row surgery (train.py:489-516)."""
+    opt_rows = {name: (state.adam.mu["pool"][name],
+                       state.adam.nu["pool"][name])
+                for name in state.pool.param_dict()}
+    pool, new_rows, stats, info = densify_and_prune(
+        state.pool, opt_rows, state.stats, rng, grad_threshold,
+        opacity_threshold, scene_extent, opt.percent_dense, max_screen_size,
+        max_points=2_000_000)
+    mu = {"pool": {k: new_rows[k][0] for k in new_rows},
+          "deform": state.adam.mu["deform"]}
+    nu = {"pool": {k: new_rows[k][1] for k in new_rows},
+          "deform": state.adam.nu["deform"]}
+    new_state = TrainState(pool=pool, deform=state.deform,
+                           adam=AdamState(mu=mu, nu=nu,
+                                          count=state.adam.count),
+                           stats=stats, step=state.step, aabb=state.aabb,
+                           nan_skips=state.nan_skips)
+    return new_state, info
+
+
+@jax.jit
+def opacity_reset_step(state: TrainState):
+    opt_rows = {name: (state.adam.mu["pool"][name],
+                       state.adam.nu["pool"][name])
+                for name in state.pool.param_dict()}
+    pool, new_rows = reset_opacity(state.pool, opt_rows)
+    mu = {"pool": {k: new_rows[k][0] for k in new_rows},
+          "deform": state.adam.mu["deform"]}
+    nu = {"pool": {k: new_rows[k][1] for k in new_rows},
+          "deform": state.adam.nu["deform"]}
+    return TrainState(pool=pool, deform=state.deform,
+                      adam=AdamState(mu=mu, nu=nu, count=state.adam.count),
+                      stats=state.stats, step=state.step, aabb=state.aabb,
+                      nan_skips=state.nan_skips)
+
+
+def densify_schedule(iteration: int, stage: str, opt: OptimizationParams):
+    """Annealed thresholds (train.py:494-499)."""
+    if stage == "coarse":
+        return opt.densify_grad_threshold_coarse, opt.opacity_threshold_coarse
+    frac = iteration / opt.densify_until_iter
+    op_thr = (opt.opacity_threshold_fine_init
+              - frac * (opt.opacity_threshold_fine_init
+                        - opt.opacity_threshold_fine_after))
+    gr_thr = (opt.densify_grad_threshold_fine_init
+              - frac * (opt.densify_grad_threshold_fine_init
+                        - opt.densify_grad_threshold_after))
+    return gr_thr, op_thr
