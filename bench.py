@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Headline benchmark: fine-stage training throughput on a Waymo-scale
+synthetic scene (640×960 render, 3 SH degrees, hexplane+deformation,
+250k-capacity pool), end-to-end train steps (render fwd + bwd + Adam).
+
+Prints ONE JSON line:
+  {"metric": "train_iters_per_sec_640x960_fine", "value": N,
+   "unit": "it/s", "vs_baseline": R}
+
+vs_baseline is measured against an assumed 10 it/s for the CUDA reference
+on A100 at the same workload (the reference publishes no throughput
+numbers — SURVEY §6; this constant is recorded here so the ratio is
+auditable and can be re-based once the reference is measured).
+"""
+
+import json
+import os
+import sys
+import time
+
+A100_REFERENCE_IT_PER_S = 10.0
+
+
+def main():
+    import numpy as np
+
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache_bench"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
+                                       PipelineParams, RasterConfig)
+    from s3gaussian_tpu.data.cameras import Camera
+    from s3gaussian_tpu.models.deformation import init_deformation
+    from s3gaussian_tpu.models.pool import create_from_pcd
+    from s3gaussian_tpu.ops.transforms import projection_matrix
+    from s3gaussian_tpu.train.trainer import init_state, train_step
+
+    H, W = 640, 960
+    N = 200_000
+    CAP = 1 << 18
+    rng = np.random.default_rng(0)
+    tan = np.tan(0.5)
+    z = rng.uniform(1.0, 60.0, N)
+    pts = np.stack([rng.uniform(-0.9, 0.9, N) * tan * z,
+                    rng.uniform(-0.9, 0.9, N) * tan * z, z], 1).astype(np.float32)
+    cols = rng.random((N, 3)).astype(np.float32)
+    pool = create_from_pcd(pts, cols, CAP)
+
+    hp = ModelHiddenParams()
+    opt = OptimizationParams()
+    pipe = PipelineParams()
+    cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=1 << 18,
+                       rect_w=5, rect_h=5)
+    deform = init_deformation(jax.random.PRNGKey(0), hp)
+    aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
+    state = init_state(pool, deform, aabb)
+
+    view = np.eye(4, dtype=np.float32)
+    proj = projection_matrix(0.01, 100.0, 1.0, 1.0)
+    full = (view.T @ proj.T).astype(np.float32)
+    gt = rng.random((H, W, 3)).astype(np.float32)
+    gt_depth = rng.uniform(1, 70, (H, W)).astype(np.float32)
+    cam = Camera(world_view=jnp.asarray(view), full_proj=jnp.asarray(full),
+                 campos=jnp.zeros(3), time=jnp.asarray(0.4, jnp.float32),
+                 image=jnp.asarray(gt), depth_map=jnp.asarray(gt_depth),
+                 image_height=H, image_width=W, fovx=1.0, fovy=1.0)
+    bg = jnp.zeros(3)
+
+    # warm-up / compile
+    t0 = time.time()
+    state, aux = train_step(state, cam, "fine", 3, hp, opt, pipe, cfg,
+                            30.0, bg)
+    jax.block_until_ready(state.pool.xyz)
+    compile_s = time.time() - t0
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.time()
+    for _ in range(n_steps):
+        state, aux = train_step(state, cam, "fine", 3, hp, opt, pipe, cfg,
+                                30.0, bg)
+    jax.block_until_ready(state.pool.xyz)
+    dt = time.time() - t0
+    it_per_s = n_steps / dt
+
+    print(json.dumps({
+        "metric": "train_iters_per_sec_640x960_fine",
+        "value": round(it_per_s, 4),
+        "unit": "it/s",
+        "vs_baseline": round(it_per_s / A100_REFERENCE_IT_PER_S, 4),
+    }))
+    print(json.dumps({
+        "detail": {
+            "backend": jax.default_backend(),
+            "compile_s": round(compile_s, 1),
+            "n_pairs": int(aux["n_pairs"]),
+            "n_visible_overflow": int(aux["overflow_visible"]),
+            "psnr": float(aux["metrics"]["psnr"]),
+        }}), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -59,6 +59,10 @@ class ModelParams:
     num_classes: int = 200
     load_intrinsic: bool = False
     load_c2w: bool = False
+    # TPU-build extras: image load size (reference hardcodes 640x960,
+    # dataset_readers.py:609)
+    load_h: int = 640
+    load_w: int = 960
     # occupancy grid
     save_occ_grid: bool = True
     occ_voxel_size: float = 0.4
@@ -207,6 +211,9 @@ class RasterConfig:
     rect_w: int = 5            # per-gaussian tile-rect cap (width, tiles)
     rect_h: int = 5            # per-gaussian tile-rect cap (height, tiles)
     chunk: int = 128           # gaussians composited per kernel chunk
+    # jnp-compositor-only cap on pairs scanned per tile (the Pallas kernels
+    # while-loop over the true count and ignore this)
+    max_pairs_per_tile: int = 1 << 14
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
 
     __hash__ = object.__hash__

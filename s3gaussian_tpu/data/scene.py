@@ -58,7 +58,8 @@ def load_scene(args: ModelParams, pool_capacity: Optional[int] = None,
             num_pts=args.num_pts, stride=args.stride,
             save_occ_grid=args.save_occ_grid,
             occ_voxel_size=args.occ_voxel_size,
-            recompute_occ_grid=args.recompute_occ_grid)
+            recompute_occ_grid=args.recompute_occ_grid,
+            load_size=(args.load_h, args.load_w))
     elif os.path.exists(os.path.join(src, "sparse")):
         from s3gaussian_tpu.data.colmap import read_colmap_scene
         info = read_colmap_scene(src, args.images, args.eval)

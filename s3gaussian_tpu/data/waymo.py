@@ -126,14 +126,18 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
                num_pts: int = 1_500_000, stride: int = 0,
                save_occ_grid: bool = True, occ_voxel_size: float = 0.4,
                recompute_occ_grid: bool = False,
-               seed: int = 0) -> SceneInfo:
+               load_size=None, seed: int = 0) -> SceneInfo:
+    global LOAD_SIZE
+    if load_size is not None:
+        LOAD_SIZE = list(load_size)
     image_folder = os.path.join(path, "images")
     frame_ids = {f.split("_")[0] for f in os.listdir(image_folder)}
     num_frames = len(frame_ids)
     if end_time == -1:
         end_time = num_frames
     else:
-        end_time += 1
+        # reference semantics: end_time is inclusive; clamp to the clip
+        end_time = min(end_time + 1, num_frames)
 
     # --- intrinsics / extrinsics per camera ---
     _intrinsics, cam_to_egos = [], []

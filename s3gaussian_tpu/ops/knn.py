@@ -32,9 +32,17 @@ def _morton30(p: np.ndarray) -> np.ndarray:
 def mean_knn_dist2(points: np.ndarray, k: int = 3, window: int = 32) -> np.ndarray:
     """Per-point mean squared distance of the k nearest neighbors
     (approximate, Morton-window search). Parity: distCUDA2 usage at
-    gaussian_model.py:153-154."""
+    gaussian_model.py:153-154.
+
+    Uses the multithreaded C++ implementation (native/s3g_native.cpp) when
+    built; this numpy version is the fallback and the test oracle."""
     points = np.asarray(points, dtype=np.float32)
     n = points.shape[0]
+    if n > 4096:
+        from s3gaussian_tpu import native
+        res = native.knn_mean_dist2(points, k=k, window=window)
+        if res is not None:
+            return res
     if n <= k:
         d = np.linalg.norm(points[:, None] - points[None], axis=-1) ** 2
         np.fill_diagonal(d, np.inf)

@@ -180,9 +180,10 @@ def rasterize(
 
     nr = binning.sel.shape[0]
     pair_idx = binning.sel[binning.sorted_gid]
-    max_chunks = max(1, -(-(nr * cfg.rect_cap) // cfg.chunk))
-    # The jnp path scans a static number of chunks per tile; bound it by the
-    # whole pair budget (tests are small). The Pallas path while-loops.
+    # The jnp path scans a static number of chunks per tile (truncating
+    # beyond max_pairs_per_tile); the Pallas path while-loops the true count.
+    max_chunks = max(1, -(-min(nr * cfg.rect_cap, cfg.max_pairs_per_tile)
+                          // cfg.chunk))
     core = _make_composite(grid_x, grid_y, cfg.tile_x, cfg.tile_y, cfg.chunk,
                            max_chunks, nr, cfg.rect_cap, _use_pallas(cfg),
                            use_custom_vjp)

@@ -1,0 +1,122 @@
+"""Multi-device training: camera-batch data parallelism over a device mesh.
+
+The reference is strictly single-process/single-GPU (SURVEY §2.1/§5.8);
+its ``batch_size > 1`` python loop (train.py:328-360) is the natural
+parallel seam.  Here that seam becomes a ``shard_map`` over a
+``jax.sharding.Mesh``:
+
+  * the camera batch is sharded along the ``data`` axis (one camera per
+    device per step — the reference's batch_size generalizes to
+    n_devices);
+  * Gaussian pool + deformation parameters are replicated;
+  * per-device loss gradients are ``psum``'d over ICI before the Adam
+    update, which every device applies identically (replicated state stays
+    bitwise consistent);
+  * densification statistics aggregate with psum (grad accumulation /
+    denominators) and pmax (screen radii), matching the reference's
+    cross-batch max/any reductions (train.py:391-393).
+
+Inside the shard_map body each device runs the plain single-camera
+pipeline, so the Pallas kernels never need to be vmapped.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
+                                   PipelineParams, RasterConfig)
+from s3gaussian_tpu.data.cameras import Camera
+from s3gaussian_tpu.models.pool import GaussianPool, add_densification_stats
+from s3gaussian_tpu.train.trainer import TrainState, compute_loss, lr_dict
+from s3gaussian_tpu.train.optim import adam_update, path_group
+
+
+def make_mesh(n_data: int = 0) -> Mesh:
+    devs = np.array(jax.devices()[:n_data] if n_data else jax.devices())
+    return Mesh(devs, axis_names=("data",))
+
+
+def make_parallel_train_step(mesh: Mesh, stage: str, active_sh_degree: int,
+                             hp: ModelHiddenParams, opt: OptimizationParams,
+                             pipe: PipelineParams, cfg: RasterConfig,
+                             spatial_lr_scale: float,
+                             use_custom_vjp: bool = True):
+    """Returns a jitted (state, camera_batch, bg) -> (state, metrics) step.
+
+    ``camera_batch`` is a Camera pytree with a leading axis equal to the
+    mesh's data-axis size (see data.cameras.stack_cameras).
+    """
+    n_dev = mesh.shape["data"]
+
+    def per_device(state: TrainState, cam: Camera, bg: jnp.ndarray):
+        # cam arrives with a leading local-shard axis of size 1
+        cam = jax.tree_util.tree_map(lambda x: x[0], cam)
+        params = {"pool": state.pool.param_dict(), "deform": state.deform}
+        tap = jnp.zeros((state.pool.capacity, 2))
+        (loss, aux), grads = jax.value_and_grad(
+            compute_loss, argnums=(0, 1), has_aux=True)(
+                params, tap, state.pool.alive, cam, stage, active_sh_degree,
+                hp, opt, pipe, state.aabb, bg, cfg, use_custom_vjp)
+        pgrads, tap_grad = grads
+
+        # cross-device reductions (the batched-loss gradient is the mean)
+        pgrads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, "data") / n_dev, pgrads)
+        tap_grad = jax.lax.psum(tap_grad, "data")
+        loss = jax.lax.pmean(loss, "data")
+        radii = jax.lax.pmax(aux["radii"], "data")
+        visible = jax.lax.pmax(aux["visible"].astype(jnp.int32), "data") > 0
+        metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, "data"),
+                                         aux["metrics"])
+
+        alive = state.pool.alive
+        pgrads["pool"] = {
+            k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
+            for k, v in pgrads["pool"].items()}
+        finite = jnp.isfinite(loss)
+        pgrads = jax.tree_util.tree_map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
+        fin = finite.astype(jnp.float32)
+        lrs = {k: v * fin for k, v in
+               lr_dict(state.step, opt, spatial_lr_scale).items()}
+        new_params, new_adam = adam_update(
+            params, pgrads, state.adam,
+            lr_for_leaf=lambda path: lrs[path_group(path)])
+        new_pool = state.pool.with_params(new_params["pool"])
+        new_stats = add_densification_stats(state.stats, tap_grad, radii,
+                                            visible)
+        new_state = TrainState(
+            pool=new_pool, deform=new_params["deform"], adam=new_adam,
+            stats=new_stats, step=state.step + 1, aabb=state.aabb,
+            nan_skips=state.nan_skips + (1 - finite.astype(jnp.int32)))
+        return new_state, metrics
+
+    from jax import shard_map
+
+    state_spec = P()          # replicated
+    cam_spec = P("data")      # leading batch axis sharded
+
+    step = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(state_spec, cam_spec, state_spec),
+        out_specs=(state_spec, state_spec),
+        check_vma=False)
+    return jax.jit(step)
+
+
+def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def shard_camera_batch(batch: Camera, mesh: Mesh) -> Camera:
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)

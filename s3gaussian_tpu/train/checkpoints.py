@@ -1,0 +1,123 @@
+"""Checkpointing: full train state, PLY export, cross-clip warm start.
+
+Parity with the reference's three artifact families (SURVEY §5.4):
+  (a) full training checkpoint = (capture(), iteration) →
+      ``chkpnt_{stage}_{iter}`` with optimizer state and deformation
+      params (train.py:524-531; gaussian_model.py:71-111) — here an orbax
+      directory of the whole ``TrainState`` + stage, older checkpoints
+      deleted on save;
+  (b) PLY export of the alive Gaussians in the Inria layout +
+      deformation params (Scene.save, scene/__init__.py:176-187);
+  (c) ``--prior_checkpoint`` warm start: load a previous clip's fine
+      checkpoint and transplant only the deformation field into a fresh
+      model (train.py:611-624).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s3gaussian_tpu.models.pool import GaussianPool
+from s3gaussian_tpu.train.trainer import TrainState
+from s3gaussian_tpu.utils.ply import (gaussian_ply_fields, parse_gaussian_ply,
+                                      read_ply, write_ply)
+
+
+def _ckpt_dir(model_path: str, stage: str, iteration: int) -> str:
+    return os.path.join(model_path, f"chkpnt_{stage}_{iteration}")
+
+
+def save_checkpoint(model_path: str, stage: str, iteration: int,
+                    state: TrainState, keep_others: bool = False) -> str:
+    import orbax.checkpoint as ocp
+
+    path = _ckpt_dir(model_path, stage, iteration)
+    if not keep_others:
+        for d in os.listdir(model_path) if os.path.isdir(model_path) else []:
+            if d.startswith("chkpnt_") and os.path.join(model_path, d) != path:
+                shutil.rmtree(os.path.join(model_path, d), ignore_errors=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+    with open(os.path.join(path, "STAGE"), "w") as f:
+        f.write(f"{stage} {iteration}")
+    return path
+
+
+def find_checkpoint(model_path: str) -> Optional[Tuple[str, str, int]]:
+    """Latest (path, stage, iteration) under model_path."""
+    if not os.path.isdir(model_path):
+        return None
+    best = None
+    for d in os.listdir(model_path):
+        if d.startswith("chkpnt_"):
+            parts = d.split("_")
+            stage, it = parts[1], int(parts[2])
+            if best is None or it > best[2]:
+                best = (os.path.join(model_path, d), stage, it)
+    return best
+
+
+def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, str, int]:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path), template)
+    with open(os.path.join(path, "STAGE")) as f:
+        stage, it = f.read().split()
+    return state, stage, int(it)
+
+
+def transplant_deformation(path: str, state: TrainState) -> TrainState:
+    """--prior_checkpoint: copy only the deformation (grid+mlp) params from
+    a previous clip's checkpoint into a fresh state (train.py:611-624)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    prev = ckptr.restore(os.path.abspath(path), state)
+    return TrainState(pool=state.pool, deform=prev.deform, adam=state.adam,
+                      stats=state.stats, step=state.step, aabb=state.aabb,
+                      nan_skips=state.nan_skips)
+
+
+def save_ply_pool(path: str, pool: GaussianPool) -> None:
+    """Alive rows in the Inria attribute layout."""
+    alive = np.asarray(pool.alive)
+    xyz = np.asarray(pool.xyz)[alive]
+    f_dc = np.asarray(pool.features_dc)[alive]
+    f_rest = np.asarray(pool.features_rest)[alive]
+    op = np.asarray(pool.opacity)[alive]
+    sc = np.asarray(pool.scaling)[alive]
+    rot = np.asarray(pool.rotation)[alive]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    write_ply(path, gaussian_ply_fields(xyz, f_dc, f_rest, op, sc, rot))
+
+
+def load_ply_pool(path: str, capacity: Optional[int] = None,
+                  max_sh_degree: int = 3) -> GaussianPool:
+    xyz, f_dc, f_rest, op, sc, rot = parse_gaussian_ply(read_ply(path),
+                                                        max_sh_degree)
+    n = len(xyz)
+    cap = capacity or (1 << (n - 1).bit_length())
+
+    def pad(x, fill=0.0):
+        out = np.full((cap,) + x.shape[1:], fill, np.float32)
+        out[:n] = x
+        return jnp.asarray(out)
+
+    rot_pad = np.zeros((cap, 4), np.float32)
+    rot_pad[:, 0] = 1.0
+    rot_pad[:n] = rot
+    alive = np.zeros(cap, bool)
+    alive[:n] = True
+    return GaussianPool(xyz=pad(xyz), features_dc=pad(f_dc),
+                        features_rest=pad(f_rest), scaling=pad(sc),
+                        rotation=jnp.asarray(rot_pad),
+                        opacity=pad(op, fill=-9.21),
+                        alive=jnp.asarray(alive))

@@ -1,0 +1,60 @@
+"""Full CLI smoke test over the fabricated Waymo fixture: a handful of
+coarse+fine iterations, checkpoint save, eval sweep with videos."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+
+def test_train_cli_smoke(tmp_path):
+    from waymo_fixture import make_fixture
+    src = make_fixture(str(tmp_path / "clip"), n_frames=3)
+    out = str(tmp_path / "out")
+
+    sys.argv[:1] = ["train.py"]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import train as train_cli
+
+    train_cli.main([
+        "-s", src, "--model_path", out, "--num_pts", "500",
+        "--coarse_iterations", "6", "--iterations", "12",
+        "--densification_interval", "4", "--densify_from_iter", "2",
+        "--opacity_reset_interval", "1000",
+        "--checkpoint_iterations", "12",
+        "--bench_iters", "6",
+        "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
+        "--chunk", "32", "--max_pairs_per_tile", "512",
+        "--load_h", "64", "--load_w", "96",
+    ])
+
+    assert os.path.exists(os.path.join(out, "logger.json"))
+    with open(os.path.join(out, "logger.json")) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    assert lines and all(np.isfinite(l["Loss"]) for l in lines)
+    assert any(d.startswith("chkpnt_") for d in os.listdir(out))
+
+
+def test_eval_only_smoke(tmp_path):
+    from waymo_fixture import make_fixture
+    src = make_fixture(str(tmp_path / "clip"), n_frames=3)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import train as train_cli
+
+    train_cli.main([
+        "-s", src, "--model_path", out, "--num_pts", "300",
+        "--stride", "2", "--eval_only",
+        "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
+        "--chunk", "32", "--max_pairs_per_tile", "512",
+        "--load_h", "64", "--load_w", "96",
+    ])
+    metrics_dir = os.path.join(out, "eval", "metrics")
+    assert os.path.isdir(metrics_dir) and len(os.listdir(metrics_dir)) >= 2
+    with open(os.path.join(metrics_dir, sorted(os.listdir(metrics_dir))[0])) as f:
+        m = json.load(f)
+    assert "psnr" in m and "ssim" in m

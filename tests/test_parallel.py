@@ -1,0 +1,71 @@
+"""Data-parallel training over the 8-device virtual CPU mesh: the sharded
+step must (a) run, (b) keep replicated state consistent, and (c) match the
+average-gradient semantics of per-camera steps."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
+                                   PipelineParams, RasterConfig)
+from s3gaussian_tpu.data.cameras import stack_cameras
+from s3gaussian_tpu.parallel.data_parallel import (make_mesh,
+                                                   make_parallel_train_step,
+                                                   replicate_state,
+                                                   shard_camera_batch)
+
+import test_train_e2e as helpers
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_step_runs_and_descends():
+    n_dev = min(len(jax.devices()), 4)
+    mesh = make_mesh(n_dev)
+    state, camera, hp, pipe, bg = helpers.setup(seed=0)
+    opt = OptimizationParams()
+    # batch = the same camera replicated (deterministic check) — then
+    # distinct cameras via time perturbation would also work
+    batch = stack_cameras([camera] * n_dev)
+
+    step = make_parallel_train_step(mesh, "coarse", 0, hp, opt, pipe,
+                                    helpers.CFG, 1.0)
+    state = replicate_state(state, mesh)
+    batch = shard_camera_batch(batch, mesh)
+
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, batch, bg)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_matches_single_when_identical_cameras():
+    """With the same camera on every device, the psum-averaged gradient
+    equals the single-camera gradient, so one parallel step == one serial
+    step (up to float addition order)."""
+    from s3gaussian_tpu.train.trainer import train_step
+
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    state, camera, hp, pipe, bg = helpers.setup(seed=1)
+    opt = OptimizationParams()
+
+    s_serial, _ = train_step(state, camera, "coarse", 0, hp, opt, pipe,
+                             helpers.CFG, 1.0, bg)
+
+    step = make_parallel_train_step(mesh, "coarse", 0, hp, opt, pipe,
+                                    helpers.CFG, 1.0)
+    sp = replicate_state(state, mesh)
+    batch = shard_camera_batch(stack_cameras([camera] * n_dev), mesh)
+    s_par, _ = step(sp, batch, bg)
+
+    np.testing.assert_allclose(np.asarray(s_par.pool.xyz),
+                               np.asarray(s_serial.pool.xyz),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_par.stats.xyz_grad_accum),
+        np.asarray(s_serial.stats.xyz_grad_accum) * n_dev,
+        rtol=1e-4, atol=1e-6)

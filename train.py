@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Training CLI — the analog of the reference's ``train.py``:
+
+    python train.py -s <waymo_clip> --model_path out/ [--configs arguments/nvs.py]
+        [--eval_only] [--prior_checkpoint out_prev/chkpnt_fine_50000]
+        [--start_checkpoint out/chkpnt_coarse_5000]
+
+Runs the two-stage schedule (coarse then fine, train.py:553-641 in the
+reference), with densify/prune/opacity-reset cadence, logger.json
+telemetry, periodic checkpoints, and the end-of-training evaluation sweep.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import sys
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="S3Gaussian-TPU training")
+    from s3gaussian_tpu.config import (ModelHiddenParams, ModelParams,
+                                       OptimizationParams, PipelineParams,
+                                       RasterConfig, add_group_args,
+                                       apply_config_file, extract_group)
+    add_group_args(parser, ModelParams, "Loading Parameters")
+    add_group_args(parser, OptimizationParams, "Optimization Parameters")
+    add_group_args(parser, PipelineParams, "Pipeline Parameters")
+    add_group_args(parser, ModelHiddenParams, "ModelHiddenParams")
+    add_group_args(parser, RasterConfig, "Rasterizer")
+    parser.add_argument("--seed", type=int, default=6666)
+    parser.add_argument("--expname", type=str, default="waymo")
+    parser.add_argument("--configs", type=str, default="")
+    parser.add_argument("--eval_only", action="store_true")
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
+                        default=[30000, 50000])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
+    parser.add_argument("--prior_checkpoint", type=str, default=None)
+    parser.add_argument("--bench_iters", type=int, default=0,
+                        help="run only N timed iterations per stage")
+    args = parser.parse_args(argv)
+
+    model = extract_group(ModelParams, args)
+    opt = extract_group(OptimizationParams, args)
+    pipe = extract_group(PipelineParams, args)
+    hyper = extract_group(ModelHiddenParams, args)
+    if args.configs:
+        apply_config_file(args.configs, model, pipe, opt, hyper)
+
+    random.seed(args.seed)
+    np.random.seed(args.seed % (2 ** 31))
+
+    import jax
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR")
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    import jax.numpy as jnp
+
+    from s3gaussian_tpu.data.scene import load_scene
+    from s3gaussian_tpu.eval.video import do_evaluation
+    from s3gaussian_tpu.models.deformation import init_deformation
+    from s3gaussian_tpu.train import checkpoints as ckpt
+    from s3gaussian_tpu.train.trainer import (densify_schedule, densify_step,
+                                              init_state, opacity_reset_step,
+                                              train_step)
+
+    if not model.model_path:
+        model.model_path = os.path.join("./output", args.expname)
+    os.makedirs(model.model_path, exist_ok=True)
+    with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
+        f.write(repr(vars(args)))
+
+    print(f"Loading scene from {model.source_path}")
+    scene = load_scene(model)
+    print(f"  {len(scene.info.points)} init points, "
+          f"{len(scene.get_train_cameras())} train cams, "
+          f"{len(scene.get_test_cameras())} test cams, "
+          f"extent {scene.cameras_extent:.2f}")
+
+    deform = init_deformation(jax.random.PRNGKey(args.seed), hyper)
+    state = init_state(scene.pool, deform, scene.aabb)
+    bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background else
+                     [0.0, 0.0, 0.0])
+    cfg = extract_group(RasterConfig, args)
+
+    start_stage, start_iter = "coarse", 0
+    if args.start_checkpoint:
+        state, start_stage, start_iter = ckpt.load_checkpoint(
+            args.start_checkpoint, state)
+        print(f"resumed from {args.start_checkpoint} at "
+              f"{start_stage}:{start_iter}")
+
+    def evaluate(stage, step):
+        eval_dir = os.path.join(model.model_path, "eval")
+        os.makedirs(eval_dir, exist_ok=True)
+        return do_evaluation(
+            scene.get_train_cameras(), scene.get_test_cameras(),
+            scene.get_full_cameras(), state.pool, state.deform, hyper, pipe,
+            bg, state.aabb, model.sh_degree, stage, cfg, eval_dir, step=step)
+
+    if args.eval_only:
+        res = evaluate("fine", int(state.step))
+        print(json.dumps(res, indent=2))
+        return
+
+    def scene_reconstruction(state, stage, first_iter, final_iter):
+        cams = scene.get_train_cameras()
+        stack = []
+        logger_path = os.path.join(model.model_path, "logger.json")
+        ema_loss = 0.0
+        rng = jax.random.PRNGKey(args.seed)
+        active_sh = 0
+        t_start = time.time()
+        n_done = 0
+        for iteration in range(first_iter, final_iter + 1):
+            if iteration % 1000 == 0:
+                active_sh = min(active_sh + 1, model.sh_degree)
+            if not stack:
+                stack = list(range(len(cams)))
+                random.shuffle(stack)
+            cam = cams[stack.pop()]
+
+            state, aux = train_step(state, cam, stage, active_sh, hyper, opt,
+                                    pipe, cfg, scene.cameras_extent, bg)
+            n_done += 1
+
+            if iteration % 100 == 0 or iteration == first_iter:
+                m = {k: float(v) for k, v in aux["metrics"].items()}
+                ema_loss = 0.4 * m["loss"] + 0.6 * ema_loss
+                entry = {"step": iteration, "stage": stage,
+                         "Loss": round(ema_loss, 7),
+                         "psnr": round(m["psnr"], 2),
+                         "point": int(state.pool.n_alive),
+                         "n_pairs": int(aux["n_pairs"]),
+                         "ovf_rect": int(aux["overflow_rect"]),
+                         "ovf_vis": int(aux["overflow_visible"]),
+                         "nan_skips": int(state.nan_skips),
+                         "it_per_s": round(n_done / (time.time() - t_start), 3)}
+                print(entry)
+                with open(logger_path, "a") as f:
+                    json.dump(entry, f)
+                    f.write("\n")
+
+            # density control (train.py:489-516)
+            if iteration < opt.densify_until_iter:
+                gthr, othr = densify_schedule(iteration, stage, opt)
+                size_thr = 20.0 if iteration > opt.opacity_reset_interval else None
+                if (iteration > opt.densify_from_iter
+                        and iteration % opt.densification_interval == 0):
+                    rng, sub = jax.random.split(rng)
+                    state, info = densify_step(state, sub, gthr, othr,
+                                               scene.cameras_extent, size_thr,
+                                               opt)
+                if iteration % opt.opacity_reset_interval == 0:
+                    print("reset opacity")
+                    state = opacity_reset_step(state)
+
+            if iteration in args.checkpoint_iterations:
+                print(f"[ITER {iteration}] saving checkpoint")
+                ckpt.save_checkpoint(model.model_path, stage, iteration, state)
+
+            if args.bench_iters and n_done >= args.bench_iters:
+                break
+        return state
+
+    # stage 1: coarse (static)
+    if start_stage == "coarse":
+        state = scene_reconstruction(state, "coarse", max(start_iter, 0) + 1
+                                     if start_iter else 1,
+                                     opt.coarse_iterations)
+        ckpt.save_checkpoint(model.model_path, "coarse",
+                             opt.coarse_iterations, state)
+        start_iter = 0
+
+    # cross-clip warm start (train.py:611-624)
+    if args.prior_checkpoint:
+        print(f"transplanting deformation from {args.prior_checkpoint}")
+        state = ckpt.transplant_deformation(args.prior_checkpoint, state)
+
+    # stage 2: fine (dynamic)
+    state = scene_reconstruction(state, "fine", start_iter + 1,
+                                 opt.iterations)
+    ckpt.save_checkpoint(model.model_path, "fine", opt.iterations, state)
+    ckpt.save_ply_pool(os.path.join(
+        model.model_path, "point_cloud",
+        f"iteration_{opt.iterations}", "point_cloud.ply"), state.pool)
+
+    if not args.bench_iters:
+        res = evaluate("fine", int(state.step))
+        print(json.dumps(res, indent=2))
+
+
+if __name__ == "__main__":
+    main()
