@@ -71,11 +71,16 @@ def main():
                  image_height=H, image_width=W, fovx=1.0, fovy=1.0)
     bg = jnp.zeros(3)
 
+    def sync(st):
+        # block_until_ready is unreliable over remote-device transports;
+        # a host fetch of a dependent scalar is a hard barrier
+        return float(jnp.sum(st.pool.xyz[:8]))
+
     # warm-up / compile
     t0 = time.time()
     state, aux = train_step(state, cam, "fine", 3, hp, opt, pipe, cfg,
                             30.0, bg)
-    jax.block_until_ready(state.pool.xyz)
+    sync(state)
     compile_s = time.time() - t0
 
     n_steps = int(os.environ.get("BENCH_STEPS", "20"))
@@ -83,7 +88,7 @@ def main():
     for _ in range(n_steps):
         state, aux = train_step(state, cam, "fine", 3, hp, opt, pipe, cfg,
                                 30.0, bg)
-    jax.block_until_ready(state.pool.xyz)
+    sync(state)  # the state chain forces all steps to complete
     dt = time.time() - t0
     it_per_s = n_steps / dt
 

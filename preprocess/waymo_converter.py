@@ -1,0 +1,179 @@
+"""Waymo TFRecord → training layout converter.
+
+Parity: ``waymo_preprocess.py`` + ``preprocess_main.py`` in the reference —
+produces the on-disk clip layout the reader consumes
+(docs/prepare_data.md:150-163):
+
+  images/{t:03d}_{cam}.jpg          5 cameras
+  intrinsics/{cam}.txt              9 values (fx fy cx cy k1 k2 p1 p2 k3)
+  extrinsics/{cam}.txt              4x4 cam->ego
+  ego_pose/{t:03d}.txt              4x4 ego->world
+  lidar/{t:03d}.bin                 Nx10 f32 [origins(3) points(3) ground
+                                    intensity elongation laser_id]
+  dynamic_masks/{t:03d}_{cam}.png   3D boxes with speed > 1 m/s projected
+  sky_masks/                        (external segmenter, optional)
+  frame_info.json                   marker + metadata
+
+Requires ``waymo-open-dataset`` + TensorFlow (host-side, device-agnostic —
+exactly like the reference).  The import is deferred so the rest of the
+framework never depends on TF.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List
+
+import numpy as np
+
+
+def _require_waymo():
+    try:
+        import tensorflow as tf  # noqa: F401
+        from waymo_open_dataset import dataset_pb2  # noqa: F401
+        from waymo_open_dataset.utils import (frame_utils,  # noqa: F401
+                                              range_image_utils,
+                                              transform_utils)
+    except ImportError as e:  # pragma: no cover - depends on env
+        raise ImportError(
+            "waymo-open-dataset + tensorflow are required for preprocessing "
+            "(pip install waymo-open-dataset-tf-2-11-0); the training "
+            "framework itself does not need them.") from e
+
+
+def convert_one(tfrecord_path: str, out_dir: str,
+                process_keys: List[str]) -> None:  # pragma: no cover - needs TF
+    """Convert one scene TFRecord (waymo_preprocess.py:803-837)."""
+    _require_waymo()
+    import tensorflow as tf
+    from waymo_open_dataset import dataset_pb2
+    from waymo_open_dataset.utils import frame_utils, transform_utils
+
+    for sub in ("images", "intrinsics", "extrinsics", "ego_pose", "lidar",
+                "dynamic_masks"):
+        os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
+
+    dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
+    n_frames = 0
+    for t, data in enumerate(dataset):
+        frame = dataset_pb2.Frame()
+        frame.ParseFromString(bytearray(data.numpy()))
+        n_frames += 1
+
+        if t == 0 and "calib" in process_keys:
+            # per-camera intrinsics + extrinsics (waymo_preprocess.py:889-918)
+            for c in frame.context.camera_calibrations:
+                cam = c.name - 1
+                intr = np.array(c.intrinsic)  # f_u f_v c_u c_v k1 k2 p1 p2 k3
+                np.savetxt(os.path.join(out_dir, "intrinsics", f"{cam}.txt"),
+                           intr)
+                c2e = np.array(c.extrinsic.transform).reshape(4, 4)
+                np.savetxt(os.path.join(out_dir, "extrinsics", f"{cam}.txt"),
+                           c2e)
+
+        if "pose" in process_keys:
+            pose = np.array(frame.pose.transform).reshape(4, 4)
+            np.savetxt(os.path.join(out_dir, "ego_pose", f"{t:03d}.txt"), pose)
+
+        if "images" in process_keys:
+            for img in frame.images:
+                cam = img.name - 1
+                with open(os.path.join(out_dir, "images",
+                                       f"{t:03d}_{cam}.jpg"), "wb") as f:
+                    f.write(img.image)
+
+        if "lidar" in process_keys:
+            (range_images, camera_projections, _,
+             range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(frame)
+            # first + second returns (waymo_preprocess.py:920-989)
+            rows = []
+            for ri_index in (0, 1):
+                points, cp_points = frame_utils.convert_range_image_to_point_cloud(
+                    frame, range_images, camera_projections,
+                    range_image_top_pose, ri_index=ri_index,
+                    keep_polar_features=True)
+                # per-laser origins in vehicle frame
+                calibs = sorted(frame.context.laser_calibrations,
+                                key=lambda cc: cc.name)
+                for laser_id, (pts, cal) in enumerate(zip(points, calibs)):
+                    if pts.shape[0] == 0:
+                        continue
+                    # keep_polar_features: [range, intensity, elongation, x, y, z]
+                    xyz = pts[:, 3:6]
+                    intensity = pts[:, 1:2]
+                    elongation = pts[:, 2:3]
+                    ext = np.array(cal.extrinsic.transform).reshape(4, 4)
+                    origin = np.broadcast_to(ext[:3, 3], xyz.shape)
+                    ground = np.zeros((len(xyz), 1), np.float32)
+                    lid = np.full((len(xyz), 1), laser_id, np.float32)
+                    rows.append(np.concatenate(
+                        [origin, xyz, ground, intensity, elongation, lid],
+                        axis=1).astype(np.float32))
+            if rows:
+                np.concatenate(rows, 0).astype(np.float32).tofile(
+                    os.path.join(out_dir, "lidar", f"{t:03d}.bin"))
+
+        if "dynamic_masks" in process_keys:
+            _save_dynamic_masks(frame, out_dir, t)
+
+    with open(os.path.join(out_dir, "frame_info.json"), "w") as f:
+        json.dump({"frames": n_frames, "source": os.path.basename(tfrecord_path)}, f)
+
+
+def _save_dynamic_masks(frame, out_dir: str, t: int) -> None:  # pragma: no cover
+    """3D boxes with speed > 1 m/s projected to 2D per camera
+    (waymo_preprocess.py:1122-1219)."""
+    from PIL import Image, ImageDraw
+    import numpy as np
+    from waymo_open_dataset.utils import box_utils  # noqa: F401
+
+    for img_meta in frame.images:
+        cam = img_meta.name - 1
+        calib = next(c for c in frame.context.camera_calibrations
+                     if c.name == img_meta.name)
+        w, h = calib.width, calib.height
+        mask = Image.new("L", (w, h), 0)
+        draw = ImageDraw.Draw(mask)
+        # camera-space labels carry projected boxes + speed
+        for labels in frame.projected_lidar_labels:
+            if labels.name != img_meta.name:
+                continue
+            for label in labels.labels:
+                # find the matching laser label for speed
+                base_id = label.id.split("_FRONT")[0].split("_SIDE")[0]
+                speed = 0.0
+                for ll in frame.laser_labels:
+                    if ll.id == base_id:
+                        speed = np.linalg.norm(
+                            [ll.metadata.speed_x, ll.metadata.speed_y])
+                        break
+                if speed <= 1.0:
+                    continue
+                b = label.box
+                x0 = b.center_x - b.length / 2
+                x1 = b.center_x + b.length / 2
+                y0 = b.center_y - b.width / 2
+                y1 = b.center_y + b.width / 2
+                draw.rectangle([x0, y0, x1, y1], fill=255)
+        mask.save(os.path.join(out_dir, "dynamic_masks", f"{t:03d}_{cam}.png"))
+
+
+def convert(data_root: str, target_dir: str, scene_ids: List[int],
+            process_keys: List[str], workers: int = 4) -> None:  # pragma: no cover
+    """Multi-scene conversion with a process pool (the reference's
+    track_parallel_progress, waymo_preprocess.py:793-801)."""
+    import multiprocessing as mp
+
+    records = sorted(os.listdir(data_root))
+    jobs = []
+    for sid in scene_ids:
+        src = os.path.join(data_root, records[sid])
+        dst = os.path.join(target_dir, f"{sid:03d}")
+        jobs.append((src, dst, process_keys))
+    if workers <= 1:
+        for j in jobs:
+            convert_one(*j)
+    else:
+        with mp.Pool(workers) as pool:
+            pool.starmap(convert_one, jobs)
