@@ -109,13 +109,12 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
 
     m = nr * rect_cap
     flat_key = key.reshape(m)
-    gid = jnp.broadcast_to(jnp.arange(nr, dtype=jnp.int32)[:, None],
-                           (nr, rect_cap)).reshape(m)
     slot = jnp.arange(m, dtype=jnp.int32)
 
-    # 3. the sort (stable) + inverse permutation
-    sorted_key, sorted_gid, sorted_slot = jax.lax.sort(
-        (flat_key, gid, slot), num_keys=1)
+    # 3. the sort (stable) + inverse permutation; the render-slot id is
+    # recoverable from the flat slot, so the sort carries one payload only
+    sorted_key, sorted_slot = jax.lax.sort((flat_key, slot), num_keys=1)
+    sorted_gid = sorted_slot // rect_cap
     _, invperm = jax.lax.sort((sorted_slot, slot), num_keys=1)
 
     # 4. tile ranges

@@ -56,15 +56,20 @@ T_EPS = 1e-4
 def pack_pool_features(xy: jnp.ndarray, conic: jnp.ndarray,
                        opacity: jnp.ndarray, color: jnp.ndarray,
                        depth: jnp.ndarray) -> jnp.ndarray:
-    """Pack per-Gaussian screen quantities into the [N, 16] feature rows the
-    compositor consumes. Column FONE is the constant ones channel; trailing
-    columns are padding for lane alignment."""
+    """Pack per-Gaussian screen quantities into [16, N] feature ROWS.
+
+    Column-major (feature-major) storage keeps the gaussian axis on TPU
+    lanes: [N, 16]-shaped arrays pad their 16-wide minor dim to 128 lanes
+    (an 8x memory tax on every touch), while [16, N] is dense.  Row FONE is
+    the constant ones channel (the Σw/final_T channel); trailing rows pad
+    to 16 for clean DMA blocks."""
     n = xy.shape[0]
-    parts = [xy, conic, opacity.reshape(n, 1), color, depth.reshape(n, 1),
-             jnp.ones((n, 1), xy.dtype)]
-    feat = jnp.concatenate(parts, axis=-1)
-    pad = jnp.zeros((n, PAIR_FEAT_DIM - feat.shape[-1]), feat.dtype)
-    return jnp.concatenate([feat, pad], axis=-1)
+    zero = jnp.zeros((n,), xy.dtype)
+    rows = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+            opacity.reshape(n), color[:, 0], color[:, 1], color[:, 2],
+            depth.reshape(n), jnp.ones((n,), xy.dtype)]
+    rows += [zero] * (PAIR_FEAT_DIM - len(rows))
+    return jnp.stack(rows, axis=0)
 
 
 def tile_pixel_coords(grid_x: int, tile_x: int, tile_y: int,
@@ -178,11 +183,14 @@ def _chunk_backward(feat, valid, px, py, t_in, prefix_in, totals5, d5):
 def composite_tiles_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                         grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                         chunk: int, max_chunks: int) -> jnp.ndarray:
-    """Forward compositing, vmapped over tiles. Returns [T, 8, P]."""
+    """Forward compositing, vmapped over tiles.
+
+    pair_feat: [16, M] feature-major sorted pair stream. Returns [T, 8, P].
+    """
     p = tile_x * tile_y
     # pad so dynamic_slice never clamps into valid data
     feat_pad = jnp.concatenate(
-        [pair_feat, jnp.zeros((chunk, PAIR_FEAT_DIM), pair_feat.dtype)], 0)
+        [pair_feat, jnp.zeros((PAIR_FEAT_DIM, chunk), pair_feat.dtype)], 1)
 
     def tile_fn(tile_index, start, count):
         px, py = tile_pixel_coords(grid_x, tile_x, tile_y, tile_index)
@@ -190,8 +198,8 @@ def composite_tiles_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         def body(carry, ci):
             acc, nc, t = carry
             offs = start + ci * chunk
-            featc = jax.lax.dynamic_slice(feat_pad, (offs, 0),
-                                          (chunk, PAIR_FEAT_DIM))
+            featc = jax.lax.dynamic_slice(feat_pad, (0, offs),
+                                          (PAIR_FEAT_DIM, chunk)).T
             idx = ci * chunk + jnp.arange(chunk)
             valid = (idx < count)[:, None]
             a, n, t2 = _chunk_forward(featc, valid, px, py, t)
@@ -214,10 +222,12 @@ def composite_tiles_bwd_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                             out_fwd: jnp.ndarray, d_out: jnp.ndarray,
                             grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                             chunk: int, max_chunks: int) -> jnp.ndarray:
-    """Manual backward: per-pair gradients [M, 16] in sorted-pair order."""
-    m = pair_feat.shape[0]
+    """Manual backward: per-pair gradients [16, M] in sorted-pair order.
+
+    pair_feat: [16, M] feature-major."""
+    m = pair_feat.shape[1]
     feat_pad = jnp.concatenate(
-        [pair_feat, jnp.zeros((chunk, PAIR_FEAT_DIM), pair_feat.dtype)], 0)
+        [pair_feat, jnp.zeros((PAIR_FEAT_DIM, chunk), pair_feat.dtype)], 1)
 
     def tile_fn(tile_index, start, count, out_t, dout_t):
         px, py = tile_pixel_coords(grid_x, tile_x, tile_y, tile_index)
@@ -227,8 +237,8 @@ def composite_tiles_bwd_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         def body(carry, ci):
             prefix, t = carry
             offs = start + ci * chunk
-            featc = jax.lax.dynamic_slice(feat_pad, (offs, 0),
-                                          (chunk, PAIR_FEAT_DIM))
+            featc = jax.lax.dynamic_slice(feat_pad, (0, offs),
+                                          (PAIR_FEAT_DIM, chunk)).T
             idx = ci * chunk + jnp.arange(chunk)
             valid = (idx < count)[:, None]
             g, prefix2, t2 = _chunk_backward(featc, valid, px, py, t, prefix,
@@ -266,7 +276,7 @@ def composite_tiles_bwd_jnp(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         return flat, None
 
     flat, _ = jax.lax.scan(write_tile, flat, (starts, grads))
-    return flat[:m]
+    return flat[:m].T
 
 
 def unpack_tiles(out: jnp.ndarray, height: int, width: int,

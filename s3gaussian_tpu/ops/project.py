@@ -46,19 +46,33 @@ def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
     unnormalized) quaternions.  Parity: ``computeCov3D`` (forward.cu:118-152)
     / ``build_scaling_rotation`` (utils/general_utils.py:268-277).
 
-    Returns the full symmetric [N,3,3] matrix (XLA fuses; no need to pack
-    the 6 unique entries like the CUDA code does).
+    Returns the 6 unique entries [N, 6] = (xx, xy, xz, yy, yz, zz) — the
+    CUDA packing.  Fully scalarized: per-Gaussian 3x3 matmuls would lower
+    to batched tiny matmuls that waste the MXU; the closed form is pure
+    VPU elementwise work.
     """
     q = rotations / jnp.linalg.norm(rotations, axis=-1, keepdims=True)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    R = jnp.stack([
-        jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], -1),
-        jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)], -1),
-        jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)], -1),
-    ], -2)
+    # rotation matrix rows (build_rotation, utils/general_utils.py:245-266)
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - r * z)
+    r02 = 2 * (x * z + r * y)
+    r10 = 2 * (x * y + r * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - r * x)
+    r20 = 2 * (x * z - r * y)
+    r21 = 2 * (y * z + r * x)
+    r22 = 1 - 2 * (x * x + y * y)
     s = scales * scale_modifier
-    M = R * s[..., None, :]            # R @ diag(s)
-    return M @ jnp.swapaxes(M, -1, -2)  # R S S^T R^T
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    # Σ = R diag(s²) Rᵀ
+    xx = s0 * r00 * r00 + s1 * r01 * r01 + s2 * r02 * r02
+    xy = s0 * r00 * r10 + s1 * r01 * r11 + s2 * r02 * r12
+    xz = s0 * r00 * r20 + s1 * r01 * r21 + s2 * r02 * r22
+    yy = s0 * r10 * r10 + s1 * r11 * r11 + s2 * r12 * r12
+    yz = s0 * r10 * r20 + s1 * r11 * r21 + s2 * r12 * r22
+    zz = s0 * r20 * r20 + s1 * r21 * r21 + s2 * r22 * r22
+    return jnp.stack([xx, xy, xz, yy, yz, zz], -1)
 
 
 def project_gaussians(
@@ -79,7 +93,7 @@ def project_gaussians(
 
     Args:
       means3d: [N,3] world positions.
-      cov3d:   [N,3,3] world covariance.
+      cov3d:   [N,6] packed symmetric world covariance (xx,xy,xz,yy,yz,zz).
       view, proj: [4,4] row-vector transforms.
       mean2d_tap: optional [N,2] zeros whose gradient equals the NDC-space
         screen gradient the reference accumulates for densification stats
@@ -107,7 +121,7 @@ def project_gaussians(
     sizes = jnp.asarray([width, height], dtype=means3d.dtype)
     xy = ((ndc_xy + 1.0) * sizes - 1.0) * 0.5
 
-    # --- EWA: cov2d = J W Σ Wᵀ Jᵀ (forward.cu:74-113) ---
+    # --- EWA: cov2d = J W Σ Wᵀ Jᵀ (forward.cu:74-113), scalarized ---
     # W2C rotation: with row-vector convention, view[:3,:3] is R_w2c^T.
     Rw2c = view[:3, :3].T                # [3,3] proper w2c rotation
     # FOV-clamped view point (gradients through clip give the reference's
@@ -119,18 +133,27 @@ def project_gaussians(
     ty = jnp.clip(p_view[..., 1] / tz, -1.3 * tanfovy, 1.3 * tanfovy) * tz
 
     inv_z = 1.0 / tz
-    inv_z2 = inv_z * inv_z
-    zeros = jnp.zeros_like(tz)
-    # J: [N,2,3] Jacobian of perspective projection
-    J = jnp.stack([
-        jnp.stack([focal_x * inv_z, zeros, -focal_x * tx * inv_z2], -1),
-        jnp.stack([zeros, focal_y * inv_z, -focal_y * ty * inv_z2], -1),
-    ], -2)
-    T = J @ Rw2c                          # [N,2,3]
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)   # [N,2,2]
-    a = cov2d[..., 0, 0] + 0.3
-    c = cov2d[..., 1, 1] + 0.3
-    b = cov2d[..., 0, 1]
+    # rows of T = J @ Rw2c as elementwise combinations (J row i only mixes
+    # Rw2c rows i and 2) — per-Gaussian 2x3x3 matmuls would waste the MXU
+    j00 = focal_x * inv_z
+    j02 = -focal_x * tx * inv_z * inv_z
+    j11 = focal_y * inv_z
+    j12 = -focal_y * ty * inv_z * inv_z
+    t0 = [j00 * Rw2c[0, k] + j02 * Rw2c[2, k] for k in range(3)]
+    t1 = [j11 * Rw2c[1, k] + j12 * Rw2c[2, k] for k in range(3)]
+
+    # cov2d = T Σ Tᵀ with Σ the packed symmetric [N,6] (xx,xy,xz,yy,yz,zz)
+    cxx, cxy, cxz = cov3d[..., 0], cov3d[..., 1], cov3d[..., 2]
+    cyy, cyz, czz = cov3d[..., 3], cov3d[..., 4], cov3d[..., 5]
+
+    def quad(u, v):
+        return (u[0] * (cxx * v[0] + cxy * v[1] + cxz * v[2])
+                + u[1] * (cxy * v[0] + cyy * v[1] + cyz * v[2])
+                + u[2] * (cxz * v[0] + cyz * v[1] + czz * v[2]))
+
+    a = quad(t0, t0) + 0.3
+    c = quad(t1, t1) + 0.3
+    b = quad(t0, t1)
 
     det = a * c - b * b
     det_safe = jnp.where(det == 0.0, 1.0, det)

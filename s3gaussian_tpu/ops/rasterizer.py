@@ -87,40 +87,41 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         # plain autodiff path (test oracle; backward scatters are fine on CPU)
         def plain_core(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
                        visible):
-            pair_feat = feat_pool[pair_idx]
+            pair_feat = feat_pool[:, pair_idx]
             return fwd_impl(pair_feat, tile_starts)
         return plain_core
 
     @jax.custom_vjp
     def composite_core(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
                        visible):
-        pair_feat = feat_pool[pair_idx]
+        pair_feat = feat_pool[:, pair_idx]
         return fwd_impl(pair_feat, tile_starts)
 
     def composite_fwd(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
                       visible):
-        pair_feat = feat_pool[pair_idx]
+        pair_feat = feat_pool[:, pair_idx]
         out = fwd_impl(pair_feat, tile_starts)
         return out, (feat_pool, pair_idx, invperm, n_pairs, tile_starts,
                      visible, out)
 
     def composite_bwd(res, dout):
         feat_pool, pair_idx, invperm, n_pairs, tile_starts, visible, out = res
-        pair_feat = feat_pool[pair_idx]
-        pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [M,16]
-        m = pair_grads.shape[0]
+        pair_feat = feat_pool[:, pair_idx]
+        pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [16,M]
+        m = pair_grads.shape[1]
         # zero pairs beyond the valid range (the sentinel tail)
-        pair_grads = jnp.where((jnp.arange(m) < n_pairs)[:, None],
+        pair_grads = jnp.where((jnp.arange(m) < n_pairs)[None, :],
                                pair_grads, 0.0)
-        # unsort to dense [NR, rect_cap, 16], reduce the rect axis
-        dense = pair_grads[invperm].reshape(nr, rect_cap, comp.PAIR_FEAT_DIM)
-        d_compact = dense.sum(axis=1)                              # [NR,16]
+        # unsort to dense [16, NR, rect_cap], reduce the rect axis
+        dense = pair_grads[:, invperm].reshape(comp.PAIR_FEAT_DIM, nr,
+                                               rect_cap)
+        d_compact = dense.sum(axis=2)                              # [16,NR]
         # expand render-set grads back to the pool by rank (gather, not
         # scatter: the compaction is stable so sel is increasing)
         rank = jnp.cumsum(visible.astype(jnp.int32)) - 1
         take = jnp.clip(rank, 0, nr - 1)
-        d_pool = jnp.where((visible & (rank < nr))[:, None],
-                           d_compact[take], 0.0)
+        d_pool = jnp.where((visible & (rank < nr))[None, :],
+                           d_compact[:, take], 0.0)
         f0 = jax.dtypes.float0
         return (d_pool,
                 np.zeros(pair_idx.shape, f0),

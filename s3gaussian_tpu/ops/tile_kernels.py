@@ -96,20 +96,14 @@ def _block_alpha(feat, valid, px, py):
     return am, G, opac, dx, dy, ca, cb, cc
 
 
-def pack_blocks(pair_feat: jnp.ndarray) -> jnp.ndarray:
-    """[M,16] sorted pair stream -> [NB,16,BLK] feature-row blocks."""
-    m = pair_feat.shape[0]
-    nb = -(-m // BLK)
-    padded = jnp.concatenate(
+def pad_stream(pair_feat: jnp.ndarray) -> jnp.ndarray:
+    """[16, M] feature-major stream -> [16, M_pad] with M_pad a BLK multiple
+    (feature-major storage means block DMA slices are 128-lane aligned)."""
+    m = pair_feat.shape[1]
+    m_pad = -(-m // BLK) * BLK
+    return jnp.concatenate(
         [pair_feat,
-         jnp.zeros((nb * BLK - m, PAIR_FEAT_DIM), pair_feat.dtype)], 0)
-    return padded.reshape(nb, BLK, PAIR_FEAT_DIM).transpose(0, 2, 1)
-
-
-def unpack_blocks(blocks: jnp.ndarray, m: int) -> jnp.ndarray:
-    """[NB,16,BLK] -> [M,16]."""
-    nb = blocks.shape[0]
-    return blocks.transpose(0, 2, 1).reshape(nb * BLK, PAIR_FEAT_DIM)[:m]
+         jnp.zeros((PAIR_FEAT_DIM, m_pad - m), pair_feat.dtype)], 1)
 
 
 # ---------------------------------------------------------------------------
@@ -127,8 +121,9 @@ def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
     p = tile_x * tile_y
 
     def dma(slot, b):
-        return pltpu.make_async_copy(feat_hbm.at[b],
-                                     chunkbuf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(b * BLK, BLK)],
+            chunkbuf.at[slot], sems.at[slot])
 
     @pl.when(b1 > b0)
     def _():
@@ -187,11 +182,12 @@ def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
 def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                          grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                          chunk: int = BLK) -> jnp.ndarray:
-    """pair_feat [M,16] (sorted pair stream), tile_starts [T+1] -> [T,8,P]."""
+    """pair_feat [16, M] (feature-major sorted pair stream),
+    tile_starts [T+1] -> [T,8,P]."""
     del chunk  # the block layout fixes the chunk at BLK
     n_tiles = grid_x * grid_y
     p = tile_x * tile_y
-    blocks = pack_blocks(pair_feat)
+    blocks = pad_stream(pair_feat)
 
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x,
                                tile_x=tile_x, tile_y=tile_y)
@@ -239,8 +235,9 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
         [doutt_ref[0, :, 0:4], -doutt_ref[0, :, 4:5]], axis=1)      # [P,5]
 
     def dma_in(slot, b):
-        return pltpu.make_async_copy(feat_hbm.at[b],
-                                     chunkbuf.at[slot], sems.at[slot])
+        return pltpu.make_async_copy(
+            feat_hbm.at[:, pl.ds(b * BLK, BLK)],
+            chunkbuf.at[slot], sems.at[slot])
 
     @pl.when(b1 > b0)
     def _():
@@ -306,11 +303,13 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
 
         # read-modify-write: boundary blocks are shared with the previous /
         # next tile (grid is sequential, so this is race-free)
-        rdma = pltpu.make_async_copy(grads_hbm.at[b], gprev, rsem)
+        rdma = pltpu.make_async_copy(grads_hbm.at[:, pl.ds(b * BLK, BLK)],
+                                     gprev, rsem)
         rdma.start()
         rdma.wait()
         gbuf[:, :] = gbuf[:, :] + gprev[:, :]
-        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[b], wsem)
+        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(b * BLK, BLK)],
+                                     wsem)
         wdma.start()
         wdma.wait()
 
@@ -334,21 +333,21 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                          out_fwd: jnp.ndarray, dout: jnp.ndarray,
                          grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                          chunk: int = BLK) -> jnp.ndarray:
-    """Per-pair gradients [M,16] in sorted-pair order.
+    """Per-pair gradients [16, M] in sorted-pair order (feature-major).
 
     Early-exited blocks have exactly-zero gradients and are simply never
-    accumulated into (the output starts from donated zeros).  Rows past the
-    global valid range are masked by the caller.
+    accumulated into (the output starts from donated zeros).  Lanes past
+    the global valid range are masked by the caller.
     """
     del chunk
     n_tiles = grid_x * grid_y
     p = tile_x * tile_y
-    m = pair_feat.shape[0]
-    blocks = pack_blocks(pair_feat)
-    nb = blocks.shape[0]
+    m = pair_feat.shape[1]
+    blocks = pad_stream(pair_feat)
+    m_pad = blocks.shape[1]
     out_t = out_fwd.transpose(0, 2, 1)   # [T, P, 8]
     dout_t = dout.transpose(0, 2, 1)
-    grads_init = jnp.zeros((nb, PAIR_FEAT_DIM, BLK), jnp.float32)
+    grads_init = jnp.zeros((PAIR_FEAT_DIM, m_pad), jnp.float32)
 
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x,
                                tile_x=tile_x, tile_y=tile_y)
@@ -376,10 +375,10 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((nb, PAIR_FEAT_DIM, BLK), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PAIR_FEAT_DIM, m_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
         input_output_aliases={4: 0},
         interpret=_interpret(),
     )(tile_starts, blocks, out_t, dout_t, grads_init)
-    return unpack_blocks(grads, m)
+    return grads[:, :m]

@@ -29,14 +29,14 @@ def binned_scene(seed=0, n=70, opacity_range=(0.2, 0.95)):
                                         jnp.asarray(sc["opacity"]),
                                         jnp.asarray(sc["colors"]), proj.depth)
     pair_idx = b.sel[b.sorted_gid]
-    pair_feat = feat_pool[pair_idx]
+    pair_feat = feat_pool[:, pair_idx]
     return pair_feat, b
 
 
 def test_forward_kernel_matches_jnp():
     for seed in (0, 1):
         pair_feat, b = binned_scene(seed)
-        max_chunks = -(-pair_feat.shape[0] // CHUNK)
+        max_chunks = -(-pair_feat.shape[1] // CHUNK)
         want = comp.composite_tiles_jnp(pair_feat, b.tile_starts, GX, GY,
                                         TILE, TILE, CHUNK, max_chunks)
         got = tk.composite_fwd_pallas(pair_feat, b.tile_starts, GX, GY,
@@ -52,7 +52,7 @@ def test_forward_kernel_matches_jnp():
 def test_forward_kernel_high_opacity_early_exit():
     # near-opaque gaussians saturate T quickly and exercise the early exit
     pair_feat, b = binned_scene(2, n=120, opacity_range=(0.9, 0.99))
-    max_chunks = -(-pair_feat.shape[0] // CHUNK)
+    max_chunks = -(-pair_feat.shape[1] // CHUNK)
     want = comp.composite_tiles_jnp(pair_feat, b.tile_starts, GX, GY,
                                     TILE, TILE, CHUNK, max_chunks)
     got = tk.composite_fwd_pallas(pair_feat, b.tile_starts, GX, GY,
@@ -64,7 +64,7 @@ def test_forward_kernel_high_opacity_early_exit():
 def test_backward_kernel_matches_jnp():
     for seed, op in ((0, (0.2, 0.95)), (3, (0.85, 0.99))):
         pair_feat, b = binned_scene(seed, opacity_range=op)
-        max_chunks = -(-pair_feat.shape[0] // CHUNK)
+        max_chunks = -(-pair_feat.shape[1] // CHUNK)
         out = comp.composite_tiles_jnp(pair_feat, b.tile_starts, GX, GY,
                                        TILE, TILE, CHUNK, max_chunks)
         key = jax.random.PRNGKey(seed)
@@ -78,6 +78,6 @@ def test_backward_kernel_matches_jnp():
                                       GX, GY, TILE, TILE, CHUNK)
         want, got = np.asarray(want), np.asarray(got)
         n_pairs = int(b.n_pairs)
-        scale = max(np.abs(want[:n_pairs]).max(), 1e-6)
-        np.testing.assert_allclose(got[:n_pairs], want[:n_pairs],
+        scale = max(np.abs(want[:, :n_pairs]).max(), 1e-6)
+        np.testing.assert_allclose(got[:, :n_pairs], want[:, :n_pairs],
                                    atol=1e-5 * scale, rtol=1e-4)
