@@ -52,6 +52,7 @@ class BinnedPairs(NamedTuple):
     n_visible: jnp.ndarray    # [] int32 visible gaussians (pre NR-cap)
     overflow_rect: jnp.ndarray  # [] int32 gaussians whose rect was clamped
     overflow_visible: jnp.ndarray  # [] int32 visible gaussians beyond NR budget
+    overflow_pairs: jnp.ndarray  # [] int32 valid pairs beyond the pair budget
 
 
 def depth_key_bits(depth: jnp.ndarray) -> jnp.ndarray:
@@ -62,7 +63,8 @@ def depth_key_bits(depth: jnp.ndarray) -> jnp.ndarray:
 
 def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
                   max_visible: int, rect_w: int, rect_h: int,
-                  tile_x: int = 16, tile_y: int = 16) -> BinnedPairs:
+                  tile_x: int = 16, tile_y: int = 16,
+                  pair_budget: int = 1 << 62) -> BinnedPairs:
     n_tiles = grid_x * grid_y
     assert n_tiles < (1 << (32 - DEPTH_BITS)) - 1, "tile id must fit 12 bits"
     n_pool = proj.depth.shape[0]
@@ -122,8 +124,19 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     tile_starts = jnp.searchsorted(sorted_key, tile_ids, side="left").astype(jnp.int32)
     n_pairs = tile_starts[-1]
 
+    # 5. static pair budget: only the first B sorted pairs feed the
+    # kernels/gathers (sentinels sort last, so only real overflow is lost;
+    # reported like the reference's 2M point cap)
+    bp = min(m, pair_budget)
+    overflow_pairs = jnp.maximum(n_pairs - bp, 0)
+    if bp < m:
+        sorted_gid = sorted_gid[:bp]
+        tile_starts = jnp.minimum(tile_starts, bp)
+        n_pairs = tile_starts[-1]
+
     return BinnedPairs(sel=sel, sel_visible=sel_visible, sorted_gid=sorted_gid,
                        invperm=invperm, tile_starts=tile_starts,
                        n_pairs=n_pairs, n_visible=n_visible,
                        overflow_rect=overflow_rect,
-                       overflow_visible=overflow_visible)
+                       overflow_visible=overflow_visible,
+                       overflow_pairs=overflow_pairs)

@@ -107,14 +107,17 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
     def composite_bwd(res, dout):
         feat_pool, pair_idx, invperm, n_pairs, tile_starts, visible, out = res
         pair_feat = feat_pool[:, pair_idx]
-        pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [16,M]
-        m = pair_grads.shape[1]
+        pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [16,Bp]
+        bp = pair_grads.shape[1]
         # zero pairs beyond the valid range (the sentinel tail)
-        pair_grads = jnp.where((jnp.arange(m) < n_pairs)[None, :],
+        pair_grads = jnp.where((jnp.arange(bp) < n_pairs)[None, :],
                                pair_grads, 0.0)
-        # unsort to dense [16, NR, rect_cap], reduce the rect axis
-        dense = pair_grads[:, invperm].reshape(comp.PAIR_FEAT_DIM, nr,
-                                               rect_cap)
+        # budget-dropped pairs route to a zero sentinel column, then unsort
+        # to dense [16, NR, rect_cap] and reduce the rect axis
+        pair_grads = jnp.concatenate(
+            [pair_grads, jnp.zeros((comp.PAIR_FEAT_DIM, 1))], axis=1)
+        dense = pair_grads[:, jnp.minimum(invperm, bp)].reshape(
+            comp.PAIR_FEAT_DIM, nr, rect_cap)
         d_compact = dense.sum(axis=2)                              # [16,NR]
         # expand render-set grads back to the pool by rank (gather, not
         # scatter: the compaction is stable so sel is increasing)
@@ -174,7 +177,7 @@ def rasterize(
     binning = bin_gaussians(
         ProjectedGaussians(*[jax.lax.stop_gradient(x) for x in proj]),
         grid_x, grid_y, cfg.max_visible, cfg.rect_w, cfg.rect_h,
-        cfg.tile_x, cfg.tile_y)
+        cfg.tile_x, cfg.tile_y, cfg.pair_budget)
 
     feat_pool = comp.pack_pool_features(proj.xy, proj.conic, opacities,
                                         colors, proj.depth)
@@ -200,6 +203,7 @@ def rasterize(
         "n_pairs": binning.n_pairs,
         "overflow_rect": binning.overflow_rect,
         "overflow_visible": binning.overflow_visible,
+        "overflow_pairs": binning.overflow_pairs,
         "visible": proj.visible,
     }
     return color, proj.radius, maps["depth"], aux

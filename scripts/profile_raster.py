@@ -29,6 +29,7 @@ def main(argv=None):
     parser.add_argument("--max_visible", type=int, default=1 << 18)
     parser.add_argument("--rect", type=int, default=5)
     parser.add_argument("--tile", type=int, default=16)
+    parser.add_argument("--pair_budget", type=int, default=1 << 22)
     args = parser.parse_args(argv)
 
     import jax
@@ -79,8 +80,8 @@ def main(argv=None):
     proj = timed("project", lambda m: project_gaussians(
         m, build_cov3d(scales, quats), view, projm, tan, tan, W, H, TX, TY),
         means)
-    b = timed("binning", lambda p: bin_gaussians(p, GX, GY, NR, RW, RH, TX, TY),
-              proj)
+    b = timed("binning", lambda p: bin_gaussians(p, GX, GY, NR, RW, RH, TX, TY,
+                                                 args.pair_budget), proj)
     print(f"{'n_pairs':>24}: {int(b.n_pairs)}")
     feat = timed("pack+gather", lambda p, bb: comp.pack_pool_features(
         p.xy, p.conic, opac, cols, p.depth)[:, bb.sel[bb.sorted_gid]],
@@ -90,11 +91,16 @@ def main(argv=None):
     dout = jnp.zeros_like(out).at[:, 0:4].set(1.0)
     pg = timed("bwd kernel", lambda pf, ts, o, do: tk.composite_bwd_pallas(
         pf, ts, o, do, GX, GY, TX, TY), feat, b.tile_starts, out, dout)
-    m = feat.shape[1]
+    bp = feat.shape[1]
     rc = RW * RH
-    timed("bwd unsort+reduce", lambda g, bb: jnp.where(
-        (jnp.arange(m) < bb.n_pairs)[None, :], g, 0.0
-    )[:, bb.invperm].reshape(comp.PAIR_FEAT_DIM, NR, rc).sum(axis=2), pg, b)
+
+    def unsort(g, bb):
+        g = jnp.where((jnp.arange(bp) < bb.n_pairs)[None, :], g, 0.0)
+        g = jnp.concatenate([g, jnp.zeros((comp.PAIR_FEAT_DIM, 1))], 1)
+        return g[:, jnp.minimum(bb.invperm, bp)].reshape(
+            comp.PAIR_FEAT_DIM, NR, rc).sum(axis=2)
+
+    timed("bwd unsort+reduce", unsort, pg, b)
 
 
 if __name__ == "__main__":

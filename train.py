@@ -147,6 +147,26 @@ def main(argv=None):
                     json.dump(entry, f)
                     f.write("\n")
 
+            # training snapshots (train.py:477-487 cadence)
+            if model.render_process and not args.bench_iters:
+                if ((iteration < 10000 and iteration % 1000 == 999)
+                        or (iteration < 30000 and iteration % 2000 == 1999)
+                        or (iteration % 3000 == 2999)):
+                    from s3gaussian_tpu.eval.snapshots import render_training_image
+                    render_training_image(
+                        model.model_path, stage + "train", iteration,
+                        cams[iteration % len(cams)], state.pool, state.deform,
+                        hyper, pipe, bg, state.aabb, active_sh, stage, cfg,
+                        elapsed=time.time() - t_start)
+                    test_cams = scene.get_test_cameras()
+                    if test_cams:
+                        render_training_image(
+                            model.model_path, stage + "test", iteration,
+                            test_cams[iteration % len(test_cams)], state.pool,
+                            state.deform, hyper, pipe, bg, state.aabb,
+                            active_sh, stage, cfg,
+                            elapsed=time.time() - t_start)
+
             # density control (train.py:489-516)
             if iteration < opt.densify_until_iter:
                 gthr, othr = densify_schedule(iteration, stage, opt)
