@@ -55,7 +55,7 @@ def main():
     opt = OptimizationParams()
     pipe = PipelineParams()
     cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=1 << 18,
-                       rect_w=5, rect_h=5)
+                       rect_w=4, rect_h=4, pair_budget=1 << 21)
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
     state = init_state(pool, deform, aabb)

@@ -208,9 +208,9 @@ class RasterConfig:
     tile_x: int = 16           # reference config.h BLOCK_X
     tile_y: int = 16           # reference config.h BLOCK_Y
     max_visible: int = 1 << 19  # render budget NR: gaussians after cull/compact
-    rect_w: int = 5            # per-gaussian tile-rect cap (width, tiles)
-    rect_h: int = 5            # per-gaussian tile-rect cap (height, tiles)
-    pair_budget: int = 1 << 22  # static cap on sorted pairs fed to kernels
+    rect_w: int = 4            # per-gaussian tile-rect cap (width, tiles)
+    rect_h: int = 4            # per-gaussian tile-rect cap (height, tiles)
+    pair_budget: int = 1 << 21  # static cap on sorted pairs fed to kernels
     chunk: int = 128           # gaussians composited per kernel chunk
     # jnp-compositor-only cap on pairs scanned per tile (the Pallas kernels
     # while-loop over the true count and ignore this)

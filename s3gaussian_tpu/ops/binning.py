@@ -17,12 +17,11 @@ TPU design (all shapes static, one compiled program):
    patterns are order-preserving, so one radix-friendly sort orders pairs
    by tile then front-to-back depth, ties broken stably by pool order
    (the CUDA 64-bit key sort has the same tie behavior).
-3. **One kv-sort** of the M = NR·rect_cap keys with the flat slot index as
-   payload, plus a second kv-sort that yields the inverse permutation —
-   the backward pass uses it to turn per-pair gradients (written in sorted
-   order by the tile kernel) back into the dense [NR, rect_cap] layout,
-   where a plain axis-sum replaces the CUDA backward's atomicAdds
-   (scatter-add is pathologically slow on TPU; measured ~100ms/M rows).
+3. **One kv-sort** of the M = NR·rect_cap keys with the flat slot index
+   as payload.  The backward turns per-pair gradients back into
+   per-Gaussian sums with a gid-sort + prefix-sum boundary difference
+   (see rasterizer.composite_bwd) — scatter-add, the CUDA backward's
+   atomicAdd analog, is pathologically slow on TPU (~100ms/M rows).
 4. **Tile ranges** via ``searchsorted`` (== ``identifyTileRanges``).
 """
 
@@ -46,7 +45,6 @@ class BinnedPairs(NamedTuple):
     sel: jnp.ndarray          # [NR] int32 pool index of each render slot
     sel_visible: jnp.ndarray  # [NR] bool  render slot is a real visible gaussian
     sorted_gid: jnp.ndarray   # [M] int32 render-slot index per sorted pair
-    invperm: jnp.ndarray      # [M] int32 sorted position of each flat pair slot
     tile_starts: jnp.ndarray  # [T+1] int32 pair range per tile (starts[T] = n_pairs)
     n_pairs: jnp.ndarray      # [] int32 number of valid pairs
     n_visible: jnp.ndarray    # [] int32 visible gaussians (pre NR-cap)
@@ -113,11 +111,10 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     flat_key = key.reshape(m)
     slot = jnp.arange(m, dtype=jnp.int32)
 
-    # 3. the sort (stable) + inverse permutation; the render-slot id is
-    # recoverable from the flat slot, so the sort carries one payload only
+    # 3. the sort (stable); the render-slot id is recoverable from the
+    # flat slot, so the sort carries one payload only
     sorted_key, sorted_slot = jax.lax.sort((flat_key, slot), num_keys=1)
     sorted_gid = sorted_slot // rect_cap
-    _, invperm = jax.lax.sort((sorted_slot, slot), num_keys=1)
 
     # 4. tile ranges
     tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(DEPTH_BITS)
@@ -135,7 +132,7 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
         n_pairs = tile_starts[-1]
 
     return BinnedPairs(sel=sel, sel_visible=sel_visible, sorted_gid=sorted_gid,
-                       invperm=invperm, tile_starts=tile_starts,
+                       tile_starts=tile_starts,
                        n_pairs=n_pairs, n_visible=n_visible,
                        overflow_rect=overflow_rect,
                        overflow_visible=overflow_visible,

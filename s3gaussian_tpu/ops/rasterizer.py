@@ -85,40 +85,46 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
 
     if not use_custom_vjp:
         # plain autodiff path (test oracle; backward scatters are fine on CPU)
-        def plain_core(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
+        def plain_core(feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts,
                        visible):
             pair_feat = feat_pool[:, pair_idx]
             return fwd_impl(pair_feat, tile_starts)
         return plain_core
 
     @jax.custom_vjp
-    def composite_core(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
+    def composite_core(feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts,
                        visible):
         pair_feat = feat_pool[:, pair_idx]
         return fwd_impl(pair_feat, tile_starts)
 
-    def composite_fwd(feat_pool, pair_idx, invperm, n_pairs, tile_starts,
+    def composite_fwd(feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts,
                       visible):
         pair_feat = feat_pool[:, pair_idx]
         out = fwd_impl(pair_feat, tile_starts)
-        return out, (feat_pool, pair_idx, invperm, n_pairs, tile_starts,
+        return out, (feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts,
                      visible, out)
 
     def composite_bwd(res, dout):
-        feat_pool, pair_idx, invperm, n_pairs, tile_starts, visible, out = res
+        feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts, visible, out = res
         pair_feat = feat_pool[:, pair_idx]
         pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [16,Bp]
         bp = pair_grads.shape[1]
         # zero pairs beyond the valid range (the sentinel tail)
         pair_grads = jnp.where((jnp.arange(bp) < n_pairs)[None, :],
                                pair_grads, 0.0)
-        # budget-dropped pairs route to a zero sentinel column, then unsort
-        # to dense [16, NR, rect_cap] and reduce the rect axis
-        pair_grads = jnp.concatenate(
-            [pair_grads, jnp.zeros((comp.PAIR_FEAT_DIM, 1))], axis=1)
-        dense = pair_grads[:, jnp.minimum(invperm, bp)].reshape(
-            comp.PAIR_FEAT_DIM, nr, rect_cap)
-        d_compact = dense.sum(axis=2)                              # [16,NR]
+        # per-Gaussian sums (the CUDA backward's atomicAdds): group the
+        # valid pairs by render slot with one kv-sort, then take prefix-sum
+        # differences at segment boundaries — all B-sized gathers, no
+        # scatter and no NR*rect_cap-sized work
+        gid2, pos = jax.lax.sort(
+            (sorted_gid, jnp.arange(bp, dtype=jnp.int32)), num_keys=1)
+        pg = pair_grads[:, pos]
+        cum = jnp.concatenate(
+            [jnp.zeros((comp.PAIR_FEAT_DIM, 1)), jnp.cumsum(pg, axis=1)],
+            axis=1)
+        starts = jnp.searchsorted(gid2, jnp.arange(nr + 1, dtype=jnp.int32),
+                                  side="left")
+        d_compact = cum[:, starts[1:]] - cum[:, starts[:-1]]       # [16,NR]
         # expand render-set grads back to the pool by rank (gather, not
         # scatter: the compaction is stable so sel is increasing)
         rank = jnp.cumsum(visible.astype(jnp.int32)) - 1
@@ -128,7 +134,7 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         f0 = jax.dtypes.float0
         return (d_pool,
                 np.zeros(pair_idx.shape, f0),
-                np.zeros(invperm.shape, f0),
+                np.zeros(sorted_gid.shape, f0),
                 np.zeros(n_pairs.shape, f0),
                 np.zeros(tile_starts.shape, f0),
                 np.zeros(visible.shape, f0))
@@ -191,7 +197,7 @@ def rasterize(
     core = _make_composite(grid_x, grid_y, cfg.tile_x, cfg.tile_y, cfg.chunk,
                            max_chunks, nr, cfg.rect_cap, _use_pallas(cfg),
                            use_custom_vjp)
-    out = core(feat_pool, pair_idx, binning.invperm, binning.n_pairs,
+    out = core(feat_pool, pair_idx, binning.sorted_gid, binning.n_pairs,
                binning.tile_starts, proj.visible)
 
     maps = comp.unpack_tiles(out, h, w, grid_x, grid_y, cfg.tile_x, cfg.tile_y)

@@ -92,15 +92,18 @@ def main(argv=None):
     pg = timed("bwd kernel", lambda pf, ts, o, do: tk.composite_bwd_pallas(
         pf, ts, o, do, GX, GY, TX, TY), feat, b.tile_starts, out, dout)
     bp = feat.shape[1]
-    rc = RW * RH
 
-    def unsort(g, bb):
+    def reduce_gid(g, bb):
         g = jnp.where((jnp.arange(bp) < bb.n_pairs)[None, :], g, 0.0)
-        g = jnp.concatenate([g, jnp.zeros((comp.PAIR_FEAT_DIM, 1))], 1)
-        return g[:, jnp.minimum(bb.invperm, bp)].reshape(
-            comp.PAIR_FEAT_DIM, NR, rc).sum(axis=2)
+        gid2, pos = jax.lax.sort(
+            (bb.sorted_gid, jnp.arange(bp, dtype=jnp.int32)), num_keys=1)
+        pg_s = g[:, pos]
+        cum = jnp.concatenate(
+            [jnp.zeros((comp.PAIR_FEAT_DIM, 1)), jnp.cumsum(pg_s, axis=1)], 1)
+        starts = jnp.searchsorted(gid2, jnp.arange(NR + 1, dtype=jnp.int32))
+        return cum[:, starts[1:]] - cum[:, starts[:-1]]
 
-    timed("bwd unsort+reduce", unsort, pg, b)
+    timed("bwd segreduce", reduce_gid, pg, b)
 
 
 if __name__ == "__main__":

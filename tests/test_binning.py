@@ -52,19 +52,16 @@ def test_pair_stream_sorted_and_complete():
     assert sorted(got) == sorted(expected)
 
 
-def test_invperm_roundtrip():
+def test_sorted_gid_consistent_with_tiles():
     sc = random_scene(n=32, seed=1)
     proj = project_scene(sc)
     b = bin_gaussians(proj, 4, 4, max_visible=64, rect_w=4, rect_h=4,
                       tile_x=16, tile_y=16)
-    m = b.invperm.shape[0]
-    # invperm maps flat slot -> sorted position
-    sorted_pos = np.asarray(b.invperm)
     gid = np.asarray(b.sorted_gid)
-    rect_cap = 16
-    for slot in range(0, m, 7):
-        p = sorted_pos[slot]
-        assert gid[p] == slot // rect_cap
+    n_pairs = int(b.n_pairs)
+    # every valid pair references a visible render slot
+    vis = np.asarray(b.sel_visible)
+    assert vis[gid[:n_pairs]].all()
 
 
 def test_visible_budget_overflow_reported():
