@@ -49,6 +49,8 @@ def main():
     pts = np.stack([rng.uniform(-0.9, 0.9, N) * tan * z,
                     rng.uniform(-0.9, 0.9, N) * tan * z, z], 1).astype(np.float32)
     cols = rng.random((N, 3)).astype(np.float32)
+    # create_from_pcd sizes gaussians from 3-NN distances — the same
+    # screen-size distribution real LiDAR-initialized training sees
     pool = create_from_pcd(pts, cols, CAP)
 
     hp = ModelHiddenParams()

@@ -49,22 +49,25 @@ class Camera:
     sky_mask: Optional[jnp.ndarray] = None      # [H,W] bool
     feat_map: Optional[jnp.ndarray] = None      # [H,W,3] PCA'd DINO features
 
-    # --- static fields ---
+    # --- per-camera scalars: data leaves (may be traced / batched) so
+    # cameras with different fovs stack into one batch pytree ---
+    fovx: float = 1.0
+    fovy: float = 1.0
+    uid: int = 0
+    cam_idx: int = 0
+    frame_idx: int = 0
+
+    # --- static fields (shape-determining) ---
     image_height: int = field(default=0, metadata=dict(static=True))
     image_width: int = field(default=0, metadata=dict(static=True))
-    fovx: float = field(default=1.0, metadata=dict(static=True))
-    fovy: float = field(default=1.0, metadata=dict(static=True))
-    uid: int = field(default=0, metadata=dict(static=True))
-    cam_idx: int = field(default=0, metadata=dict(static=True))
-    frame_idx: int = field(default=0, metadata=dict(static=True))
 
     @property
-    def tanfovx(self) -> float:
-        return float(np.tan(self.fovx * 0.5))
+    def tanfovx(self):
+        return jnp.tan(jnp.asarray(self.fovx) * 0.5)
 
     @property
-    def tanfovy(self) -> float:
-        return float(np.tan(self.fovy * 0.5))
+    def tanfovy(self):
+        return jnp.tan(jnp.asarray(self.fovy) * 0.5)
 
 
 def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,

@@ -127,9 +127,7 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
                save_occ_grid: bool = True, occ_voxel_size: float = 0.4,
                recompute_occ_grid: bool = False,
                load_size=None, seed: int = 0) -> SceneInfo:
-    global LOAD_SIZE
-    if load_size is not None:
-        LOAD_SIZE = list(load_size)
+    ls = list(load_size) if load_size is not None else list(LOAD_SIZE)
     image_folder = os.path.join(path, "images")
     frame_ids = {f.split("_")[0] for f in os.listdir(image_folder)}
     num_frames = len(frame_ids)
@@ -144,10 +142,10 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
     for i in range(max(CAMERA_LIST) + 1):
         intr = np.loadtxt(os.path.join(path, "intrinsics", f"{i}.txt"))
         fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-        fx *= LOAD_SIZE[1] / ORIGINAL_SIZE[i][1]
-        fy *= LOAD_SIZE[0] / ORIGINAL_SIZE[i][0]
-        cx *= LOAD_SIZE[1] / ORIGINAL_SIZE[i][1]
-        cy *= LOAD_SIZE[0] / ORIGINAL_SIZE[i][0]
+        fx *= ls[1] / ORIGINAL_SIZE[i][1]
+        fy *= ls[0] / ORIGINAL_SIZE[i][0]
+        cx *= ls[1] / ORIGINAL_SIZE[i][1]
+        cy *= ls[0] / ORIGINAL_SIZE[i][0]
         _intrinsics.append(np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]]))
         c2e = np.loadtxt(os.path.join(path, "extrinsics", f"{i}.txt"))
         cam_to_egos.append(c2e @ OPENCV2DATASET)
@@ -170,8 +168,8 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
     timestamps = np.array(timestamps)
 
     # --- frustum AABB (dataset_readers.py:749-781) ---
-    pix_corners = np.array([[0, 0], [0, LOAD_SIZE[0]],
-                            [LOAD_SIZE[1], LOAD_SIZE[0]], [LOAD_SIZE[1], 0]])
+    pix_corners = np.array([[0, 0], [0, ls[0]],
+                            [ls[1], ls[0]], [ls[1], 0]])
     corners = []
     for c2w, intr in zip(cam_to_worlds, intrinsics):
         for extent in FRUSTUM_RANGE:
@@ -210,10 +208,10 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
             front = pix[:, 2] > 0
             pix = pix[front]
             uv = pix[:, :2] / pix[:, 2:]
-            inb = ((uv[:, 0] >= 0) & (uv[:, 0] < LOAD_SIZE[1])
-                   & (uv[:, 1] >= 0) & (uv[:, 1] < LOAD_SIZE[0]))
+            inb = ((uv[:, 0] >= 0) & (uv[:, 0] < ls[1])
+                   & (uv[:, 1] >= 0) & (uv[:, 1] < ls[0]))
             pix, uv = pix[inb], uv[inb]
-            dm = np.zeros(LOAD_SIZE, np.float32)
+            dm = np.zeros(ls, np.float32)
             dm[uv[:, 1].astype(np.int32), uv[:, 0].astype(np.int32)] = pix[:, 2]
             depth_maps.append(dm)
 
@@ -255,25 +253,25 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
         R = w2c[:3, :3].T
         T = w2c[:3, 3]
         intr = intrinsics[idx]
-        fovx = focal2fov(intr[0, 0], LOAD_SIZE[1])
-        fovy = focal2fov(intr[1, 1], LOAD_SIZE[0])
+        fovx = focal2fov(intr[0, 0], ls[1])
+        fovy = focal2fov(intr[1, 1], ls[0])
         cam_id = cam_ids[idx]
         img = _load_image(
             os.path.join(path, "images", f"{frame:03d}_{cam_id}.jpg"),
-            LOAD_SIZE)
+            ls)
         dyn = sky = feat = None
         dm_path = os.path.join(path, "dynamic_masks", f"{frame:03d}_{cam_id}.png")
         if load_dynamic_mask and os.path.exists(dm_path):
-            dyn = _load_mask(dm_path, LOAD_SIZE)
+            dyn = _load_mask(dm_path, ls)
         sm_path = os.path.join(path, "sky_masks", f"{frame:03d}_{cam_id}.png")
         if load_sky_mask and os.path.exists(sm_path):
-            sky = _load_mask(sm_path, LOAD_SIZE)
+            sky = _load_mask(sm_path, ls)
         fm_path = os.path.join(path, "dinov2_vitb14", f"{frame:03d}_{cam_id}.npy")
         if load_feat_map and os.path.exists(fm_path):
-            feat = _feat_pca3(fm_path, LOAD_SIZE, rng)
+            feat = _feat_pca3(fm_path, ls, rng)
         # reference time: mapper[absolute frame] = (frame - orig)/length
         # (dataset_readers.py:677-686, 992-999)
-        return make_camera(R, T, fovx, fovy, LOAD_SIZE[1], LOAD_SIZE[0],
+        return make_camera(R, T, fovx, fovy, ls[1], ls[0],
                            time=norm_time(frame),
                            image=img, depth_map=depth_maps[idx],
                            dynamic_mask=dyn, sky_mask=sky, feat_map=feat,

@@ -29,6 +29,8 @@ def test_train_cli_smoke(tmp_path):
         "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
         "--chunk", "32", "--max_pairs_per_tile", "512",
         "--load_h", "64", "--load_w", "96",
+        "--configs", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tiny_config.py"),
     ])
 
     assert os.path.exists(os.path.join(out, "logger.json"))
@@ -52,6 +54,8 @@ def test_eval_only_smoke(tmp_path):
         "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
         "--chunk", "32", "--max_pairs_per_tile", "512",
         "--load_h", "64", "--load_w", "96",
+        "--configs", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tiny_config.py"),
     ])
     metrics_dir = os.path.join(out, "eval", "metrics")
     assert os.path.isdir(metrics_dir) and len(os.listdir(metrics_dir)) >= 2

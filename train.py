@@ -109,6 +109,14 @@ def main(argv=None):
         print(json.dumps(res, indent=2))
         return
 
+    # multi-device camera-batch data parallelism (batch_size > 1 with a
+    # device mesh; the reference's train.py:328-360 batch loop, SURVEY §5.8)
+    n_dev = jax.local_device_count()
+    use_parallel = opt.batch_size > 1 and n_dev >= opt.batch_size
+    if opt.batch_size > 1 and not use_parallel:
+        print(f"batch_size={opt.batch_size} needs >= that many devices "
+              f"(have {n_dev}); falling back to batch_size=1")
+
     def scene_reconstruction(state, stage, first_iter, final_iter):
         cams = scene.get_train_cameras()
         stack = []
@@ -118,17 +126,42 @@ def main(argv=None):
         active_sh = 0
         t_start = time.time()
         n_done = 0
+        par_step = None
+        if use_parallel:
+            from s3gaussian_tpu.data.cameras import stack_cameras
+            from s3gaussian_tpu.parallel.data_parallel import (
+                make_mesh, make_parallel_train_step, replicate_state,
+                shard_camera_batch)
+            mesh = make_mesh(opt.batch_size)
+            state = replicate_state(state, mesh)
         for iteration in range(first_iter, final_iter + 1):
             if iteration % 1000 == 0:
                 active_sh = min(active_sh + 1, model.sh_degree)
-            if not stack:
-                stack = list(range(len(cams)))
-                random.shuffle(stack)
-            cam = cams[stack.pop()]
-
-            state, aux = train_step(state, cam, stage, active_sh, hyper, opt,
-                                    pipe, cfg, scene.cameras_extent, bg)
-            n_done += 1
+            if use_parallel:
+                batch = []
+                for _ in range(opt.batch_size):
+                    if not stack:
+                        stack = list(range(len(cams)))
+                        random.shuffle(stack)
+                    batch.append(cams[stack.pop()])
+                if par_step is None or par_step[1] != active_sh:
+                    par_step = (make_parallel_train_step(
+                        mesh, stage, active_sh, hyper, opt, pipe, cfg,
+                        scene.cameras_extent), active_sh)
+                state, metrics = par_step[0](
+                    state, shard_camera_batch(stack_cameras(batch), mesh), bg)
+                aux = {"metrics": metrics, "n_pairs": -1, "overflow_rect": -1,
+                       "overflow_visible": -1}
+                n_done += 1
+            else:
+                if not stack:
+                    stack = list(range(len(cams)))
+                    random.shuffle(stack)
+                cam = cams[stack.pop()]
+                state, aux = train_step(state, cam, stage, active_sh, hyper,
+                                        opt, pipe, cfg, scene.cameras_extent,
+                                        bg)
+                n_done += 1
 
             if iteration % 100 == 0 or iteration == first_iter:
                 m = {k: float(v) for k, v in aux["metrics"].items()}
