@@ -94,6 +94,26 @@ def main():
     dt = time.time() - t0
     it_per_s = n_steps / dt
 
+    # render-only FPS (the second headline metric in BASELINE.json)
+    import jax as _jax
+    from s3gaussian_tpu.render.renderer import render as _render
+
+    @_jax.jit
+    def fwd_only(st, tshift):
+        import dataclasses
+        c = dataclasses.replace(cam, time=cam.time + tshift)
+        pkg = _render(c, st.pool, st.deform, hp, pipe, bg, st.aabb, 3,
+                      stage="fine", cfg=cfg)
+        return pkg["render"]
+
+    img = fwd_only(state, jnp.asarray(0.0))
+    float(jnp.sum(img.ravel()[:4]))
+    t0 = time.time()
+    imgs = [fwd_only(state, jnp.asarray(1e-6 * i)) for i in range(n_steps)]
+    for im in imgs:
+        float(jnp.sum(im.ravel()[:4]))
+    render_fps = n_steps / (time.time() - t0)
+
     print(json.dumps({
         "metric": "train_iters_per_sec_640x960_fine",
         "value": round(it_per_s, 4),
@@ -107,6 +127,7 @@ def main():
             "n_pairs": int(aux["n_pairs"]),
             "n_visible_overflow": int(aux["overflow_visible"]),
             "psnr": float(aux["metrics"]["psnr"]),
+            "render_fps": round(render_fps, 3),
         }}), file=sys.stderr)
 
 

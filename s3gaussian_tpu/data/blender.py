@@ -9,8 +9,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import List
-
 import numpy as np
 
 from s3gaussian_tpu.data.cameras import make_camera, nerf_norm_radius

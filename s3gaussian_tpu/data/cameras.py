@@ -7,18 +7,19 @@ dynamic mask, DINO feature map, sky mask).
 
 TPU-first design notes:
   * ``Camera`` is a registered pytree whose array leaves can be device-put /
-    sharded; the static geometry (H, W, fovs) lives in aux data so a jitted
-    train step specializes on image shape once.
-  * ``CameraBatch`` stacks the *tensor* fields of many cameras (all Waymo
-    views share a resolution) so a batch axis can be mapped over devices —
-    the multi-camera data-parallel seam (reference train.py:328-360 pops
+    sharded; only the shape-determining fields (H, W) are static aux, so a
+    jitted train step specializes on image shape once while per-camera
+    scalars (fov, time, ids) stay batchable.
+  * ``stack_cameras`` stacks many cameras (all Waymo views share a
+    resolution) so a leading batch axis can be sharded over devices — the
+    multi-camera data-parallel seam (reference train.py:328-360 pops
     cameras one by one in Python instead).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,6 @@ import numpy as np
 
 from s3gaussian_tpu.ops.transforms import (
     camera_center,
-    focal2fov,
     full_projection,
     projection_matrix,
     world_to_view,
@@ -36,7 +36,7 @@ from s3gaussian_tpu.ops.transforms import (
 @jax.tree_util.register_dataclass
 @dataclass
 class Camera:
-    """One view. Array fields are pytree leaves; geometry is static aux."""
+    """One view. Array/scalar fields are pytree leaves; H/W are static."""
 
     # --- dynamic (traced) fields ---
     world_view: jnp.ndarray            # [4,4] row-vector W2C^T

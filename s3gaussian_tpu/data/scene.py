@@ -11,8 +11,8 @@ aabb[0]=max — reference quirk preserved).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from dataclasses import dataclass
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -25,7 +25,7 @@ the pool; the MXU sees [N,128]x[128,64] matmuls.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -19,11 +19,10 @@ labeling by name prefix works like the reference's "grid" group
 from __future__ import annotations
 
 import itertools
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from s3gaussian_tpu.ops.gridsample import grid_sample_2d
 

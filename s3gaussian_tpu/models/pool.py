@@ -22,7 +22,7 @@ step stays one compiled program.  Slot exhaustion drops the overflow
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
 import jax

@@ -14,7 +14,6 @@ The gradient w.r.t. the grid comes from autodiff.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -27,7 +27,7 @@ import numpy as np
 
 from s3gaussian_tpu.config import RasterConfig
 from s3gaussian_tpu.ops import composite as comp
-from s3gaussian_tpu.ops.binning import BinnedPairs, bin_gaussians
+from s3gaussian_tpu.ops.binning import bin_gaussians
 from s3gaussian_tpu.ops.project import (ProjectedGaussians, build_cov3d,
                                         project_gaussians, sh_to_color)
 

@@ -22,9 +22,6 @@ pipeline, so the Pallas kernels never need to be vmapped.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -33,7 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
                                    PipelineParams, RasterConfig)
 from s3gaussian_tpu.data.cameras import Camera
-from s3gaussian_tpu.models.pool import GaussianPool, add_densification_stats
+from s3gaussian_tpu.models.pool import add_densification_stats
 from s3gaussian_tpu.train.trainer import TrainState, compute_loss, lr_dict
 from s3gaussian_tpu.train.optim import adam_update, path_group
 

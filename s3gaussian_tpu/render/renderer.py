@@ -16,7 +16,6 @@ NDC gradient tap), dx, dshs, feat, render_d/depth_d, render_s/depth_s.
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, Optional
 
 import jax

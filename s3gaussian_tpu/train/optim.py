@@ -18,7 +18,7 @@ gaussian_model.py:203-218).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Callable, Dict
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
