@@ -101,12 +101,13 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                       visible):
         pair_feat = feat_pool[:, pair_idx]
         out = fwd_impl(pair_feat, tile_starts)
-        return out, (feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts,
+        # keep the gathered pair stream as a residual: re-gathering in the
+        # backward would cost a second multi-M-index gather per step
+        return out, (pair_feat, sorted_gid, n_pairs, tile_starts,
                      visible, out)
 
     def composite_bwd(res, dout):
-        feat_pool, pair_idx, sorted_gid, n_pairs, tile_starts, visible, out = res
-        pair_feat = feat_pool[:, pair_idx]
+        pair_feat, sorted_gid, n_pairs, tile_starts, visible, out = res
         pair_grads = bwd_impl(pair_feat, tile_starts, out, dout)  # [16,Bp]
         bp = pair_grads.shape[1]
         # zero pairs beyond the valid range (the sentinel tail)
@@ -133,7 +134,7 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                            d_compact[:, take], 0.0)
         f0 = jax.dtypes.float0
         return (d_pool,
-                np.zeros(pair_idx.shape, f0),
+                np.zeros(sorted_gid.shape, f0),
                 np.zeros(sorted_gid.shape, f0),
                 np.zeros(n_pairs.shape, f0),
                 np.zeros(tile_starts.shape, f0),
