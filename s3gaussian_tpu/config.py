@@ -215,6 +215,11 @@ class RasterConfig:
     # jnp-compositor-only cap on pairs scanned per tile (the Pallas kernels
     # while-loop over the true count and ignore this)
     max_pairs_per_tile: int = 1 << 14
+    # fine-stage option: frustum-cull on undeformed positions (with a pixel
+    # margin for |dx|) BEFORE the deformation field, so the hexplane/MLP run
+    # only on the ~max_visible candidate set instead of the whole pool
+    cull_before_deform: bool = False
+    cull_margin_px: float = 32.0
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
 
     __hash__ = object.__hash__

@@ -88,6 +88,7 @@ def project_gaussians(
     tile_y: int = 16,
     mean2d_tap: Optional[jnp.ndarray] = None,
     alive: Optional[jnp.ndarray] = None,
+    radius_margin: float = 0.0,
 ) -> ProjectedGaussians:
     """Project Gaussians into screen space.
 
@@ -99,6 +100,8 @@ def project_gaussians(
         screen gradient the reference accumulates for densification stats
         (train.py:435-437, backward.cu:578-580 ddelx_dx scaling).
       alive: optional [N] bool pool-liveness mask; dead slots are culled.
+      radius_margin: extra pixels added to the tile-rect radius (used for
+        conservative pre-deformation culling).
 
     Returns ProjectedGaussians with static shapes.
     """
@@ -170,10 +173,11 @@ def project_gaussians(
     grid_y = (height + tile_y - 1) // tile_y
     xy_ng = jax.lax.stop_gradient(xy)
     r_ng = jax.lax.stop_gradient(radius_f)
-    x0 = jnp.clip(jnp.floor((xy_ng[..., 0] - r_ng) / tile_x), 0, grid_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((xy_ng[..., 1] - r_ng) / tile_y), 0, grid_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((xy_ng[..., 0] + r_ng + tile_x - 1) / tile_x), 0, grid_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((xy_ng[..., 1] + r_ng + tile_y - 1) / tile_y), 0, grid_y).astype(jnp.int32)
+    r_m = r_ng + radius_margin
+    x0 = jnp.clip(jnp.floor((xy_ng[..., 0] - r_m) / tile_x), 0, grid_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((xy_ng[..., 1] - r_m) / tile_y), 0, grid_y).astype(jnp.int32)
+    x1 = jnp.clip(jnp.floor((xy_ng[..., 0] + r_m + tile_x - 1) / tile_x), 0, grid_x).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((xy_ng[..., 1] + r_m + tile_y - 1) / tile_y), 0, grid_y).astype(jnp.int32)
 
     visible = (depth > 0.2) & (det > 0.0) & ((x1 - x0) * (y1 - y0) > 0)
     if alive is not None:

@@ -50,17 +50,61 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
            cfg: RasterConfig = RasterConfig(),
            use_custom_vjp: bool = True) -> Dict[str, Any]:
     xyz = pool.xyz
-    shs = pool.get_features()
     dx = dshs = feat = None
+    # the "working set": either the whole pool or (cull_before_deform) the
+    # compacted pre-deformation candidate set — all arrays below are
+    # working-set shaped, and `alive_w` masks its live members
+    alive_w = pool.alive
+    work_indices = None
+    work_vis0 = None
+
+    use_cull = (cfg.cull_before_deform and "fine" in stage
+                and not return_decomposition and override_color is None)
+    if use_cull:
+        # pass 1: cheap conservative cull on the undeformed pool with a
+        # pixel margin absorbing |dx| (deviation documented in PARITY.md)
+        from s3gaussian_tpu.ops.compact import take_compact
+        from s3gaussian_tpu.ops.project import build_cov3d, project_gaussians
+
+        cov0 = build_cov3d(jnp.exp(pool.scaling), pool.rotation,
+                           scaling_modifier)
+        proj0 = project_gaussians(
+            jax.lax.stop_gradient(xyz), jax.lax.stop_gradient(cov0),
+            camera.world_view, camera.full_proj, camera.tanfovx,
+            camera.tanfovy, camera.image_width, camera.image_height,
+            tile_x=cfg.tile_x, tile_y=cfg.tile_y, alive=pool.alive,
+            radius_margin=cfg.cull_margin_px)
+        vis0 = proj0.visible
+        n = xyz.shape[0]
+        nr = min(cfg.max_visible, n)
+        key = jnp.where(vis0, jnp.uint32(0), jnp.uint32(1))
+        _, order = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                                num_keys=1)
+        cand = order[:nr]
+        alive_w = vis0[cand] & (jnp.arange(nr)
+                                < jnp.sum(vis0.astype(jnp.int32)))
+        work_indices, work_vis0 = cand, vis0
+        xyz = take_compact(pool.xyz, cand, vis0)
+        scaling_w = take_compact(pool.scaling, cand, vis0)
+        rotation_w = take_compact(pool.rotation, cand, vis0)
+        opacity_w = take_compact(pool.opacity, cand, vis0)
+        shs = jnp.concatenate(
+            [take_compact(pool.features_dc, cand, vis0),
+             take_compact(pool.features_rest, cand, vis0)], axis=1)
+        if mean2d_tap is not None:
+            mean2d_tap = take_compact(mean2d_tap, cand, vis0)
+    else:
+        scaling_w, rotation_w, opacity_w = (pool.scaling, pool.rotation,
+                                            pool.opacity)
+        shs = pool.get_features()
 
     if "coarse" in stage:
-        xyz_f, scales_f, rot_f, op_f, shs_f = (xyz, pool.scaling,
-                                               pool.rotation, pool.opacity,
-                                               shs)
+        xyz_f, scales_f, rot_f, op_f, shs_f = (xyz, scaling_w, rotation_w,
+                                               opacity_w, shs)
     elif "fine" in stage:
         t = jnp.broadcast_to(camera.time.reshape(1, 1), (xyz.shape[0], 1))
-        out = apply_deformation(deform_params, hp, aabb, xyz, pool.scaling,
-                                pool.rotation, pool.opacity, shs, t)
+        out = apply_deformation(deform_params, hp, aabb, xyz, scaling_w,
+                                rotation_w, opacity_w, shs, t)
         xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,
                                                out.rotations, out.opacity,
                                                out.shs)
@@ -91,12 +135,24 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
                          alive=alive_mask, cfg=cfg,
                          use_custom_vjp=use_custom_vjp)
 
-    color, radii, depth, aux = rast(pool.alive)
+    color, radii, depth, aux = rast(alive_w)
+    if use_cull:
+        # expand per-candidate outputs back to pool shape by rank (gather)
+        nr = work_indices.shape[0]
+        rank = jnp.cumsum(work_vis0.astype(jnp.int32)) - 1
+        take = jnp.clip(rank, 0, nr - 1)
+        ok = work_vis0 & (rank < nr)
+        radii_pool = jnp.where(ok, radii[take], 0)
+        visible_pool = ok & aux["visible"][take]
+        aux = dict(aux)
+        aux["visible"] = visible_pool
+        radii = radii_pool
     result: Dict[str, Any] = {
         "render": color,
         "depth": depth,
         "radii": radii,
         "visibility_filter": radii > 0,
+        "alive_work": alive_w,
         "raster_aux": aux,
     }
 
@@ -104,7 +160,7 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
         feat_color, _, _, _ = rasterize(
             settings, jax.lax.stop_gradient(xyz_f), op_act[:, 0],
             scales=scales_act, rotations=rot_act, colors_precomp=feat,
-            alive=pool.alive, cfg=cfg, use_custom_vjp=use_custom_vjp)
+            alive=alive_w, cfg=cfg, use_custom_vjp=use_custom_vjp)
         result["feat"] = feat_color
 
     if return_decomposition and dx is not None:

@@ -108,14 +108,17 @@ def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
     loss = l1_loss(pkg["render"], gt)
     metrics = {"l1": loss, "psnr": psnr(pkg["render"], gt)}
 
-    n_alive = jnp.maximum(jnp.sum(alive), 1)
+    # dx/dshs live on the render working set (the whole pool, or the
+    # culled candidate set when cfg.cull_before_deform)
+    w_alive = pkg["alive_work"]
+    n_alive = jnp.maximum(jnp.sum(w_alive), 1)
     if fine and not hp.no_dx and opt.lambda_dx != 0:
-        dx_l = jnp.sum(jnp.where(alive[:, None], jnp.abs(pkg["dx"]), 0.0)) \
+        dx_l = jnp.sum(jnp.where(w_alive[:, None], jnp.abs(pkg["dx"]), 0.0)) \
             / (n_alive * 3)
         loss = loss + opt.lambda_dx * dx_l
         metrics["dx"] = dx_l
     if fine and not hp.no_dshs and opt.lambda_dshs != 0:
-        dshs_l = jnp.sum(jnp.where(alive[:, None, None],
+        dshs_l = jnp.sum(jnp.where(w_alive[:, None, None],
                                    jnp.abs(pkg["dshs"]), 0.0)) / (n_alive * 48)
         loss = loss + opt.lambda_dshs * dshs_l
     if opt.lambda_depth != 0 and camera.depth_map is not None:
