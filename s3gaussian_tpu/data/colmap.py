@@ -96,14 +96,58 @@ def read_points3d_binary(path) -> Tuple[np.ndarray, np.ndarray]:
             np.array(rgbs, np.float32) / 255.0)
 
 
+def read_cameras_text(path) -> Dict[int, ColmapCamera]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            out[int(parts[0])] = ColmapCamera(
+                parts[1], int(parts[2]), int(parts[3]),
+                np.array([float(p) for p in parts[4:]]))
+    return out
+
+
+def read_images_text(path) -> Dict[int, ColmapImage]:
+    out = {}
+    with open(path) as f:
+        lines = [l for l in f if not l.startswith("#") and l.strip()]
+    for meta in lines[::2]:  # every other line is the 2D point list
+        parts = meta.split()
+        out[int(parts[0])] = ColmapImage(
+            np.array([float(p) for p in parts[1:5]]),
+            np.array([float(p) for p in parts[5:8]]),
+            int(parts[8]), parts[9])
+    return out
+
+
+def read_points3d_text(path) -> Tuple[np.ndarray, np.ndarray]:
+    xyzs, rgbs = [], []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.split()
+            xyzs.append([float(p) for p in parts[1:4]])
+            rgbs.append([float(p) for p in parts[4:7]])
+    return (np.array(xyzs, np.float32),
+            np.array(rgbs, np.float32) / 255.0)
+
+
 def read_colmap_scene(path: str, images_dir: str = "images",
                       eval_: bool = True, llffhold: int = 8) -> SceneInfo:
     from PIL import Image
 
     sparse = os.path.join(path, "sparse", "0")
-    cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
-    imgs = read_images_binary(os.path.join(sparse, "images.bin"))
-    xyz, rgb = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    if os.path.exists(os.path.join(sparse, "cameras.bin")):
+        cams = read_cameras_binary(os.path.join(sparse, "cameras.bin"))
+        imgs = read_images_binary(os.path.join(sparse, "images.bin"))
+        xyz, rgb = read_points3d_binary(os.path.join(sparse, "points3D.bin"))
+    else:  # text-format model (colmap_loader.py:125-272 fallback order)
+        cams = read_cameras_text(os.path.join(sparse, "cameras.txt"))
+        imgs = read_images_text(os.path.join(sparse, "images.txt"))
+        xyz, rgb = read_points3d_text(os.path.join(sparse, "points3D.txt"))
 
     cam_list = []
     for idx, (iid, im) in enumerate(sorted(imgs.items(), key=lambda kv: kv[1].name)):

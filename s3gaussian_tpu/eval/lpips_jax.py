@@ -88,6 +88,26 @@ def _alex_features(x, wts) -> List[jnp.ndarray]:
     return taps
 
 
+def _vgg_features(x, wts) -> List[jnp.ndarray]:
+    """torchvision vgg16.features with taps after relu1_2/2_2/3_3/4_3/5_3
+    (lpipsPyTorch/modules/networks.py VGG slices)."""
+    taps = []
+    li = 0
+    # (convs per block) with maxpool between blocks
+    for block, n_convs in enumerate((2, 2, 3, 3, 3)):
+        for c in range(n_convs):
+            w = wts[f"net.slice{block + 1}.{li}.weight"]
+            b = wts[f"net.slice{block + 1}.{li}.bias"]
+            x = jax.nn.relu(_conv(x, w, b, pad=1))
+            li += 2  # conv + relu
+        taps.append(x)
+        if block < 4:
+            x = -jax.lax.reduce_window(-x, jnp.inf, jax.lax.min,
+                                       (1, 1, 2, 2), (1, 1, 2, 2), "VALID")
+            li += 1  # maxpool
+    return taps
+
+
 def lpips(pred: np.ndarray, gt: np.ndarray, net: str = "alex") -> float:
     """pred/gt: [H,W,3] in [0,1]."""
     wts = _load_weights(net)
@@ -97,8 +117,9 @@ def lpips(pred: np.ndarray, gt: np.ndarray, net: str = "alex") -> float:
     scale = jnp.asarray(_SCALE).reshape(1, 3, 1, 1)
     x = (x - shift) / scale
     y = (y - shift) / scale
-    fx = _alex_features(x, wts)
-    fy = _alex_features(y, wts)
+    feats = _alex_features if net == "alex" else _vgg_features
+    fx = feats(x, wts)
+    fy = feats(y, wts)
     total = 0.0
     for i, (a, b) in enumerate(zip(fx, fy)):
         a = a / jnp.sqrt(jnp.sum(a * a, axis=1, keepdims=True) + 1e-10)
