@@ -301,13 +301,18 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
         gbuf[FOP:FOP + 1, :] = psum(G * d_alpha)
         gbuf[FR:FD + 1, :] = d_colors[0:4, :]
 
-        # read-modify-write: boundary blocks are shared with the previous /
-        # next tile (grid is sequential, so this is race-free)
-        rdma = pltpu.make_async_copy(grads_hbm.at[:, pl.ds(b * BLK, BLK)],
-                                     gprev, rsem)
-        rdma.start()
-        rdma.wait()
-        gbuf[:, :] = gbuf[:, :] + gprev[:, :]
+        # Only a tile's first/last blocks can be shared with the previous/
+        # next tile; interior blocks are exclusively owned and skip the
+        # read-modify-write (grid is sequential, so boundary RMW is
+        # race-free).
+        @pl.when((b == b0) | (b == b1 - 1))
+        def _():
+            rdma = pltpu.make_async_copy(
+                grads_hbm.at[:, pl.ds(b * BLK, BLK)], gprev, rsem)
+            rdma.start()
+            rdma.wait()
+            gbuf[:, :] = gbuf[:, :] + gprev[:, :]
+
         wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(b * BLK, BLK)],
                                      wsem)
         wdma.start()
