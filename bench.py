@@ -56,8 +56,11 @@ def main():
     hp = ModelHiddenParams()
     opt = OptimizationParams()
     pipe = PipelineParams()
+    # pair_budget = max_visible·rect_cap: NO pair clamping — the headline
+    # number must be measured with every emitted pair rendered (r1's 1<<21
+    # budget silently saturated; VERDICT r1 weak #2)
     cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=1 << 18,
-                       rect_w=4, rect_h=4, pair_budget=1 << 21)
+                       rect_w=4, rect_h=4, pair_budget=1 << 22)
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
     state = init_state(pool, deform, aabb)
@@ -94,6 +97,11 @@ def main():
     dt = time.time() - t0
     it_per_s = n_steps / dt
 
+    overflow_pairs = int(aux["overflow_pairs"])
+    assert overflow_pairs == 0, (
+        f"pair budget saturated ({overflow_pairs} pairs dropped) — the "
+        "headline it/s would be an artifact of the clamp; raise pair_budget")
+
     # render-only FPS (the second headline metric in BASELINE.json)
     import jax as _jax
     from s3gaussian_tpu.render.renderer import render as _render
@@ -125,6 +133,7 @@ def main():
             "backend": jax.default_backend(),
             "compile_s": round(compile_s, 1),
             "n_pairs": int(aux["n_pairs"]),
+            "overflow_pairs": overflow_pairs,
             "n_visible_overflow": int(aux["overflow_visible"]),
             "psnr": float(aux["metrics"]["psnr"]),
             "render_fps": round(render_fps, 3),

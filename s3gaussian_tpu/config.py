@@ -10,8 +10,7 @@ style dicts.
 
 TPU additions live in :class:`RasterConfig` (static capacities for the
 sort-based binner — the XLA analogue of the CUDA rasterizer's dynamically
-sized CUB buffers) and :class:`ParallelConfig` (device-mesh layout; the
-reference has no distributed story at all).
+sized CUB buffers).
 """
 
 from __future__ import annotations
@@ -231,16 +230,6 @@ class RasterConfig:
     @property
     def max_pairs(self) -> int:
         return self.max_visible * self.rect_cap
-
-
-@dataclass
-class ParallelConfig:
-    """Device-mesh layout (new capability; reference is single-GPU)."""
-
-    data_axis: str = "data"      # camera-batch data parallelism
-    gaussian_axis: str = "gs"    # optional gaussian sharding for preprocess
-    data: int = 1
-    gs: int = 1
 
 
 # ---------------------------------------------------------------------------

@@ -63,6 +63,18 @@ def init_state(pool: GaussianPool, deform_params: Dict[str, Any],
                       nan_skips=jnp.zeros((), jnp.int32))
 
 
+def reinit_optimizer(state: TrainState) -> TrainState:
+    """Per-stage ``training_setup`` semantics (reference train.py:222): each
+    stage starts with fresh Adam moments and a stage-local step for the LR
+    schedules — fine must not inherit coarse's 5,000-step-advanced schedule
+    or stale momentum."""
+    import dataclasses
+
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    return dataclasses.replace(state, adam=init_adam(params),
+                               step=jnp.zeros((), jnp.int32))
+
+
 def lr_dict(step, opt: OptimizationParams, spatial_lr_scale: float):
     """Scheduled per-group learning rates (gaussian_model.py:186-218)."""
     s = spatial_lr_scale
@@ -148,6 +160,7 @@ def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
            "n_pairs": pkg["raster_aux"]["n_pairs"],
            "overflow_rect": pkg["raster_aux"]["overflow_rect"],
            "overflow_visible": pkg["raster_aux"]["overflow_visible"],
+           "overflow_pairs": pkg["raster_aux"]["overflow_pairs"],
            "metrics": metrics}
     return loss, aux
 

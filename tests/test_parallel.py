@@ -35,10 +35,14 @@ def test_parallel_step_runs_and_descends():
 
     losses = []
     for _ in range(12):
-        state, metrics = step(state, batch, bg)
-        losses.append(float(metrics["loss"]))
+        state, aux = step(state, batch, bg)
+        losses.append(float(aux["metrics"]["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+    # budget counters surface in the parallel path too (VERDICT r1 weak #5)
+    for key in ("n_pairs", "overflow_rect", "overflow_visible",
+                "overflow_pairs"):
+        assert int(aux[key]) >= 0
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")

@@ -68,7 +68,7 @@ def main(argv=None):
     from s3gaussian_tpu.train import checkpoints as ckpt
     from s3gaussian_tpu.train.trainer import (densify_schedule, densify_step,
                                               init_state, opacity_reset_step,
-                                              train_step)
+                                              reinit_optimizer, train_step)
 
     if not model.model_path:
         model.model_path = os.path.join("./output", args.expname)
@@ -96,13 +96,14 @@ def main(argv=None):
         print(f"resumed from {args.start_checkpoint} at "
               f"{start_stage}:{start_iter}")
 
-    def evaluate(stage, step):
+    def evaluate(stage, step, st=None):
+        st = state if st is None else st
         eval_dir = os.path.join(model.model_path, "eval")
         os.makedirs(eval_dir, exist_ok=True)
         return do_evaluation(
             scene.get_train_cameras(), scene.get_test_cameras(),
-            scene.get_full_cameras(), state.pool, state.deform, hyper, pipe,
-            bg, state.aabb, model.sh_degree, stage, cfg, eval_dir, step=step)
+            scene.get_full_cameras(), st.pool, st.deform, hyper, pipe,
+            bg, st.aabb, model.sh_degree, stage, cfg, eval_dir, step=step)
 
     if args.eval_only:
         res = evaluate("fine", int(state.step))
@@ -118,6 +119,11 @@ def main(argv=None):
               f"(have {n_dev}); falling back to batch_size=1")
 
     def scene_reconstruction(state, stage, first_iter, final_iter):
+        if first_iter <= 1:
+            # fresh stage start = training_setup (reference train.py:222):
+            # Adam moments zeroed, LR schedules restart at step 0 (a resume
+            # via --start_checkpoint keeps the loaded optimizer state)
+            state = reinit_optimizer(state)
         cams = scene.get_train_cameras()
         stack = []
         logger_path = os.path.join(model.model_path, "logger.json")
@@ -148,10 +154,8 @@ def main(argv=None):
                     par_step = (make_parallel_train_step(
                         mesh, stage, active_sh, hyper, opt, pipe, cfg,
                         scene.cameras_extent), active_sh)
-                state, metrics = par_step[0](
+                state, aux = par_step[0](
                     state, shard_camera_batch(stack_cameras(batch), mesh), bg)
-                aux = {"metrics": metrics, "n_pairs": -1, "overflow_rect": -1,
-                       "overflow_visible": -1}
                 n_done += 1
             else:
                 if not stack:
@@ -173,6 +177,7 @@ def main(argv=None):
                          "n_pairs": int(aux["n_pairs"]),
                          "ovf_rect": int(aux["overflow_rect"]),
                          "ovf_vis": int(aux["overflow_visible"]),
+                         "ovf_pairs": int(aux["overflow_pairs"]),
                          "nan_skips": int(state.nan_skips),
                          "it_per_s": round(n_done / (time.time() - t_start), 3)}
                 print(entry)
@@ -217,6 +222,12 @@ def main(argv=None):
             if iteration in args.checkpoint_iterations:
                 print(f"[ITER {iteration}] saving checkpoint")
                 ckpt.save_checkpoint(model.model_path, stage, iteration, state)
+
+            # mid-training full evaluation (reference train.py:533-551)
+            if iteration == 30000 and not args.bench_iters:
+                print(f"[ITER {iteration}] mid-training evaluation")
+                res = evaluate(stage, iteration, st=state)
+                print(json.dumps(res, indent=2))
 
             if args.bench_iters and n_done >= args.bench_iters:
                 break
