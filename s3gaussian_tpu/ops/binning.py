@@ -39,6 +39,25 @@ DEPTH_BITS = 20
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 
 
+class PairKeys(NamedTuple):
+    """Unsorted pair keys + render-set selection (static shapes).
+
+    The sort itself lives with its consumer: the rasterizer's compositing
+    core carries the pair *feature rows* through the very same sort as
+    payload operands (one streaming kv-sort ≈ half the cost of
+    sort-indices-then-gather on TPU, where gathers pay ~25 ns per index)."""
+
+    sel: jnp.ndarray          # [NR] int32 pool index of each render slot
+    sel_visible: jnp.ndarray  # [NR] bool  render slot is a real visible gaussian
+    keys: jnp.ndarray         # [M=NR*rect_cap] uint32 packed [tile|depth] keys
+    tile_u32: jnp.ndarray     # [M] uint32 tile ids (two-key path; INVALID on pad)
+    depth_u32: jnp.ndarray    # [M] uint32 order-preserving depth bits
+    two_key: bool             # True when tile ids don't fit the packed key
+    n_visible: jnp.ndarray    # [] int32 visible gaussians (pre NR-cap)
+    overflow_rect: jnp.ndarray  # [] int32 gaussians whose rect was clamped
+    overflow_visible: jnp.ndarray  # [] int32 visible gaussians beyond NR budget
+
+
 class BinnedPairs(NamedTuple):
     """Sorted pair stream + tile ranges (static shapes)."""
 
@@ -59,12 +78,20 @@ def depth_key_bits(depth: jnp.ndarray) -> jnp.ndarray:
     return bits >> jnp.uint32(32 - DEPTH_BITS)
 
 
-def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
-                  max_visible: int, rect_w: int, rect_h: int,
-                  tile_x: int = 16, tile_y: int = 16,
-                  pair_budget: int = 1 << 62) -> BinnedPairs:
+def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
+                   max_visible: int, rect_w: int, rect_h: int,
+                   tile_x: int = 16, tile_y: int = 16) -> PairKeys:
+    """Visible compaction + bounded pair-key emission (no sort).
+
+    Replaces ``duplicateWithKeys`` (rasterizer_impl.cu:70-111): each render
+    slot emits up to rect_w×rect_h [tile|depth] keys for the tiles its
+    screen rect covers; oversized rects are clamped around the projected
+    center (counted in ``overflow_rect``).  Tile grids beyond the packed
+    12-bit tile field (e.g. full-res 1280×1920 → 9,600 tiles) switch to a
+    two-key representation, matching the reference's 64-bit keys
+    (rasterizer_impl.cu:290-309)."""
     n_tiles = grid_x * grid_y
-    assert n_tiles < (1 << (32 - DEPTH_BITS)) - 1, "tile id must fit 12 bits"
+    two_key = n_tiles >= (1 << (32 - DEPTH_BITS)) - 1
     n_pool = proj.depth.shape[0]
     nr = min(max_visible, n_pool)
     rect_cap = rect_w * rect_h
@@ -96,7 +123,8 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     x0c = jnp.clip(cx - rect_w // 2, x0, jnp.maximum(x0, x1 - wc))
     y0c = jnp.clip(cy - rect_h // 2, y0, jnp.maximum(y0, y1 - hc))
 
-    dbits = depth_key_bits(proj.depth[sel])
+    dfull = jax.lax.bitcast_convert_type(
+        proj.depth[sel].astype(jnp.float32), jnp.uint32)
 
     r = jnp.arange(rect_cap, dtype=jnp.int32)[None, :]        # [1, R]
     wc_ = jnp.maximum(wc, 1)[:, None]
@@ -104,36 +132,70 @@ def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     dy = r // wc_
     valid = (r < (wc * hc)[:, None]) & sel_visible[:, None]
     tile = (y0c[:, None] + dy) * grid_x + (x0c[:, None] + dx)
-    key = (tile.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS)) | dbits[:, None]
-    key = jnp.where(valid, key, INVALID_KEY)
 
     m = nr * rect_cap
-    flat_key = key.reshape(m)
-    slot = jnp.arange(m, dtype=jnp.int32)
+    tile_u32 = jnp.where(valid, tile.astype(jnp.uint32), INVALID_KEY).reshape(m)
+    depth_u32 = jnp.broadcast_to(dfull[:, None], (nr, rect_cap)).reshape(m)
+    if two_key:
+        keys = tile_u32  # packed key unusable; consumers sort (tile, depth)
+    else:
+        dbits = dfull >> jnp.uint32(32 - DEPTH_BITS)
+        key = ((tile.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS))
+               | dbits[:, None])
+        keys = jnp.where(valid, key, INVALID_KEY).reshape(m)
 
-    # 3. the sort (stable); the render-slot id is recoverable from the
-    # flat slot, so the sort carries one payload only
-    sorted_key, sorted_slot = jax.lax.sort((flat_key, slot), num_keys=1)
+    return PairKeys(sel=sel, sel_visible=sel_visible, keys=keys,
+                    tile_u32=tile_u32, depth_u32=depth_u32, two_key=two_key,
+                    n_visible=n_visible, overflow_rect=overflow_rect,
+                    overflow_visible=overflow_visible)
+
+
+def sort_pairs(pk: PairKeys, payloads):
+    """One stable kv-sort of the pair stream carrying ``payloads`` (a tuple
+    of [M] arrays).  Returns (sorted_tile_u32, sorted_payloads)."""
+    if pk.two_key:
+        out = jax.lax.sort((pk.tile_u32, pk.depth_u32) + tuple(payloads),
+                           num_keys=2)
+        return out[0], out[2:]
+    out = jax.lax.sort((pk.keys,) + tuple(payloads), num_keys=1)
+    return out[0] >> jnp.uint32(DEPTH_BITS), out[1:]
+
+
+def tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int, bp: int):
+    """Per-tile [start, end) ranges (== identifyTileRanges,
+    rasterizer_impl.cu:116-138) + budget-truncation accounting."""
+    tids = jnp.arange(n_tiles + 1, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sorted_tile, tids, side="left").astype(jnp.int32)
+    total_pairs = starts[-1]
+    overflow_pairs = jnp.maximum(total_pairs - bp, 0)
+    starts = jnp.minimum(starts, bp)
+    return starts, starts[-1], overflow_pairs
+
+
+def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
+                  max_visible: int, rect_w: int, rect_h: int,
+                  tile_x: int = 16, tile_y: int = 16,
+                  pair_budget: int = 1 << 62) -> BinnedPairs:
+    """Key emission + index-payload sort + tile ranges (the standalone
+    binner; the rasterizer's compositing core fuses feature rows into the
+    same sort instead — see rasterizer.py)."""
+    pk = make_pair_keys(proj, grid_x, grid_y, max_visible, rect_w, rect_h,
+                        tile_x, tile_y)
+    rect_cap = rect_w * rect_h
+    m = pk.keys.shape[0]
+    slot = jnp.arange(m, dtype=jnp.int32)
+    sorted_tile, (sorted_slot,) = sort_pairs(pk, (slot,))
     sorted_gid = sorted_slot // rect_cap
 
-    # 4. tile ranges
-    tile_ids = jnp.arange(n_tiles + 1, dtype=jnp.uint32) << jnp.uint32(DEPTH_BITS)
-    tile_starts = jnp.searchsorted(sorted_key, tile_ids, side="left").astype(jnp.int32)
-    n_pairs = tile_starts[-1]
-
-    # 5. static pair budget: only the first B sorted pairs feed the
-    # kernels/gathers (sentinels sort last, so only real overflow is lost;
-    # reported like the reference's 2M point cap)
     bp = min(m, pair_budget)
-    overflow_pairs = jnp.maximum(n_pairs - bp, 0)
+    tile_starts, n_pairs, overflow_pairs = tile_ranges(
+        sorted_tile, grid_x * grid_y, bp)
     if bp < m:
         sorted_gid = sorted_gid[:bp]
-        tile_starts = jnp.minimum(tile_starts, bp)
-        n_pairs = tile_starts[-1]
 
-    return BinnedPairs(sel=sel, sel_visible=sel_visible, sorted_gid=sorted_gid,
-                       tile_starts=tile_starts,
-                       n_pairs=n_pairs, n_visible=n_visible,
-                       overflow_rect=overflow_rect,
-                       overflow_visible=overflow_visible,
+    return BinnedPairs(sel=pk.sel, sel_visible=pk.sel_visible,
+                       sorted_gid=sorted_gid, tile_starts=tile_starts,
+                       n_pairs=n_pairs, n_visible=pk.n_visible,
+                       overflow_rect=pk.overflow_rect,
+                       overflow_visible=pk.overflow_visible,
                        overflow_pairs=overflow_pairs)
