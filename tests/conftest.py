@@ -31,6 +31,7 @@ HEAVY_MODULES = {
 }
 HEAVY_TESTS = {
     ("test_rasterize_forward", "test_nonsquare_image_and_odd_size"),
+    ("test_rasterize_forward", "test_full_resolution_two_key_path"),
     ("test_rasterize_forward", "test_behind_camera_culled"),
     ("test_deformation", "test_gradients_reach_grid_and_mlp"),
     ("test_tile_kernels", "test_forward_kernel_matches_jnp"),

@@ -11,8 +11,8 @@ from brute import render_brute
 from scenes import random_scene, cov3d_np
 
 
-def run_pair(seed, bg, n=60, w=48, h=48, tile=16):
-    sc = random_scene(n=n, seed=seed, w=w, h=h)
+def run_pair(seed, bg, n=60, w=48, h=48, tile=16, **scene_kw):
+    sc = random_scene(n=n, seed=seed, w=w, h=h, **scene_kw)
     cov = cov3d_np(sc["scales"], sc["quats"])
     want = render_brute(sc["means"].astype(np.float64), cov.astype(np.float64),
                         sc["colors"], sc["opacity"], sc["view"], sc["proj"],
@@ -79,3 +79,24 @@ def test_nonsquare_image_and_odd_size():
     # image size not a multiple of the tile exercises the crop path
     want, color, depth, radii, aux = run_pair(6, [0, 0, 0], n=40, w=40, h=56)
     np.testing.assert_allclose(color, want["render"], atol=2e-3)
+
+
+def test_full_resolution_two_key_path():
+    """Waymo full-res 1280x1920 = 9,600 tiles — beyond the packed 12-bit
+    tile field, so the binner must switch to the two-key (tile, depth) sort
+    (the reference's 64-bit keys handle any resolution,
+    rasterizer_impl.cu:290-309).  Compares against the brute oracle."""
+    from s3gaussian_tpu.ops.binning import DEPTH_BITS
+
+    h, w, tile = 1280, 1920, 16
+    n_tiles = (h // tile) * (w // tile)
+    assert n_tiles >= (1 << (32 - DEPTH_BITS)) - 1  # really the two-key path
+    # world scales small enough that every splat's tile rect fits the 8x8
+    # cap at this focal length (the cap-overflow behavior has its own test)
+    want, color, depth, radii, aux = run_pair(
+        7, [0.1, 0.3, 0.2], n=40, w=w, h=h,
+        zrange=(3.0, 10.0), scale_range=(0.004, 0.02))
+    assert int(aux["overflow_rect"]) == 0
+    assert int(aux["overflow_pairs"]) == 0
+    np.testing.assert_allclose(color, want["render"], atol=2e-3)
+    np.testing.assert_allclose(depth, want["depth"], atol=5e-3)
