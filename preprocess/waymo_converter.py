@@ -86,9 +86,14 @@ def convert_one(tfrecord_path: str, out_dir: str,
         if "lidar" in process_keys:
             (range_images, camera_projections, _,
              range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(frame)
-            # first + second returns (waymo_preprocess.py:920-989)
+            if range_image_top_pose is None:
+                continue  # camera-only split has no lidar
+            # first return only (waymo_preprocess.py:941-958); origins are
+            # approximated by each laser's extrinsic translation (the
+            # reference derives per-point origins from the range-image pose;
+            # the difference is the ego motion within one sweep)
             rows = []
-            for ri_index in (0, 1):
+            for ri_index in (0,):
                 points, cp_points = frame_utils.convert_range_image_to_point_cloud(
                     frame, range_images, camera_projections,
                     range_image_top_pose, ri_index=ri_index,
@@ -105,58 +110,115 @@ def convert_one(tfrecord_path: str, out_dir: str,
                     elongation = pts[:, 2:3]
                     ext = np.array(cal.extrinsic.transform).reshape(4, 4)
                     origin = np.broadcast_to(ext[:3, 3], xyz.shape)
-                    ground = np.zeros((len(xyz), 1), np.float32)
                     lid = np.full((len(xyz), 1), laser_id, np.float32)
                     rows.append(np.concatenate(
-                        [origin, xyz, ground, intensity, elongation, lid],
+                        [origin, xyz, np.zeros((len(xyz), 1), np.float32),
+                         intensity, elongation, lid],
                         axis=1).astype(np.float32))
             if rows:
-                np.concatenate(rows, 0).astype(np.float32).tofile(
-                    os.path.join(out_dir, "lidar", f"{t:03d}.bin"))
+                sweep = np.concatenate(rows, 0).astype(np.float32)
+                # ground channel (column 6): iterative plane fit over the
+                # whole vehicle-frame sweep (waymo_preprocess.py:175-213,959)
+                from preprocess.lidar_ground import ground_label
+                sweep[:, 6] = ground_label(sweep[:, 3:6]).astype(np.float32)
+                sweep.tofile(os.path.join(out_dir, "lidar", f"{t:03d}.bin"))
 
         if "dynamic_masks" in process_keys:
             _save_dynamic_masks(frame, out_dir, t)
+
+    if "panoptic_segs" in process_keys:
+        save_panoptic_segs(tfrecord_path, out_dir)
 
     with open(os.path.join(out_dir, "frame_info.json"), "w") as f:
         json.dump({"frames": n_frames, "source": os.path.basename(tfrecord_path)}, f)
 
 
 def _save_dynamic_masks(frame, out_dir: str, t: int) -> None:  # pragma: no cover
-    """3D boxes with speed > 1 m/s projected to 2D per camera
-    (waymo_preprocess.py:1122-1219)."""
-    from PIL import Image, ImageDraw
-    import numpy as np
-    from waymo_open_dataset.utils import box_utils  # noqa: F401
+    """3D laser-label boxes projected corner-by-corner into each camera,
+    speed max-pooled, thresholded at 1 m/s (waymo_preprocess.py:1122-1219)."""
+    from PIL import Image
+
+    from preprocess.boxes import dynamic_mask_from_boxes
+
+    # likely-occluded filter (waymo_preprocess.py:1139-1156)
+    filter_available = any(l.num_top_lidar_points_in_box > 0
+                           for l in frame.laser_labels)
+    boxes = []
+    for label in frame.laser_labels:
+        box = label.box
+        if not box.ByteSize():
+            continue
+        if (filter_available and not label.num_top_lidar_points_in_box) or (
+                not filter_available and not label.num_lidar_points_in_box):
+            continue
+        meta = label.metadata
+        boxes.append({
+            "center": [box.center_x, box.center_y, box.center_z],
+            "lwh": [box.length, box.width, box.height],
+            "heading": box.heading,
+            "speed": float(np.linalg.norm([meta.speed_x, meta.speed_y])),
+        })
 
     for img_meta in frame.images:
         cam = img_meta.name - 1
         calib = next(c for c in frame.context.camera_calibrations
                      if c.name == img_meta.name)
-        w, h = calib.width, calib.height
-        mask = Image.new("L", (w, h), 0)
-        draw = ImageDraw.Draw(mask)
-        # camera-space labels carry projected boxes + speed
-        for labels in frame.projected_lidar_labels:
-            if labels.name != img_meta.name:
-                continue
-            for label in labels.labels:
-                # find the matching laser label for speed
-                base_id = label.id.split("_FRONT")[0].split("_SIDE")[0]
-                speed = 0.0
-                for ll in frame.laser_labels:
-                    if ll.id == base_id:
-                        speed = np.linalg.norm(
-                            [ll.metadata.speed_x, ll.metadata.speed_y])
-                        break
-                if speed <= 1.0:
-                    continue
-                b = label.box
-                x0 = b.center_x - b.length / 2
-                x1 = b.center_x + b.length / 2
-                y0 = b.center_y - b.width / 2
-                y1 = b.center_y + b.width / 2
-                draw.rectangle([x0, y0, x1, y1], fill=255)
-        mask.save(os.path.join(out_dir, "dynamic_masks", f"{t:03d}_{cam}.png"))
+        c2e = np.array(calib.extrinsic.transform).reshape(4, 4)
+        mask = dynamic_mask_from_boxes(boxes, c2e, list(calib.intrinsic),
+                                       calib.width, calib.height)
+        Image.fromarray(mask, "L").save(
+            os.path.join(out_dir, "dynamic_masks", f"{t:03d}_{cam}.png"))
+
+
+def save_panoptic_segs(tfrecord_path: str, out_dir: str) -> int:  # pragma: no cover
+    """Decode and export panoptic segmentation labels for the frames that
+    carry them (waymo_preprocess.py:1011-1120): per frame+cam, a packed
+    ``semantic * 1000 + instance`` int32 .npy under ``panoptic_segs/``,
+    with instance ids remapped to be consistent across cameras and time.
+    Returns the number of labeled frames."""
+    _require_waymo()
+    import tensorflow as tf
+    from waymo_open_dataset import dataset_pb2
+    from waymo_open_dataset.utils import camera_segmentation_utils
+
+    os.makedirs(os.path.join(out_dir, "panoptic_segs"), exist_ok=True)
+    # cams [1,0,2] = FRONT_LEFT, FRONT, FRONT_RIGHT (reader order)
+    cam_order = [2, 1, 3]  # waymo enum names for those cameras
+
+    frames_with_seg = []
+    frame_ids = []
+    dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
+    for t, data in enumerate(dataset):
+        frame = dataset_pb2.Frame()
+        frame.ParseFromString(bytearray(data.numpy()))
+        if frame.images[0].camera_segmentation_label.panoptic_label:
+            frames_with_seg.append(frame)
+            frame_ids.append(t)
+    if not frames_with_seg:
+        return 0
+
+    protos = []
+    for frame in frames_with_seg:
+        by_name = {img.name: img.camera_segmentation_label
+                   for img in frame.images}
+        protos.extend(by_name[name] for name in cam_order)
+    (panoptic_labels, _, _, divisor) = (
+        camera_segmentation_utils
+        .decode_multi_frame_panoptic_labels_from_segmentation_labels(
+            protos, remap_to_global=True))
+    ncam = len(cam_order)
+    for i, t in enumerate(frame_ids):
+        for j in range(ncam):
+            sem, inst = (camera_segmentation_utils
+                         .decode_semantic_and_instance_labels_from_panoptic_label(
+                             panoptic_labels[i * ncam + j], divisor))
+            packed = (sem.astype(np.int32) * 1000
+                      + inst.astype(np.int32)).squeeze()
+            # file cam index matches the reader's [1,0,2] order mapping
+            cam_idx = [1, 0, 2][j]
+            np.save(os.path.join(out_dir, "panoptic_segs",
+                                 f"{t:03d}_{cam_idx}.npy"), packed)
+    return len(frame_ids)
 
 
 def convert(data_root: str, target_dir: str, scene_ids: List[int],
