@@ -172,16 +172,18 @@ def _save_dynamic_masks(frame, out_dir: str, t: int) -> None:  # pragma: no cove
 
 def save_panoptic_segs(tfrecord_path: str, out_dir: str) -> int:  # pragma: no cover
     """Decode and export panoptic segmentation labels for the frames that
-    carry them (waymo_preprocess.py:1011-1120): per frame+cam, a packed
-    ``semantic * 1000 + instance`` int32 .npy under ``panoptic_segs/``,
-    with instance ids remapped to be consistent across cameras and time.
+    carry them (waymo_preprocess.py:1011-1120): per frame+cam, semantic and
+    instance label .npys under ``semantic_segs/`` / ``instance_segs/``
+    (the reader's layout, dataset_readers.py:642-649), with instance ids
+    remapped to be consistent across cameras and time.
     Returns the number of labeled frames."""
     _require_waymo()
     import tensorflow as tf
     from waymo_open_dataset import dataset_pb2
     from waymo_open_dataset.utils import camera_segmentation_utils
 
-    os.makedirs(os.path.join(out_dir, "panoptic_segs"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "semantic_segs"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "instance_segs"), exist_ok=True)
     # cams [1,0,2] = FRONT_LEFT, FRONT, FRONT_RIGHT (reader order)
     cam_order = [2, 1, 3]  # waymo enum names for those cameras
 
@@ -212,12 +214,12 @@ def save_panoptic_segs(tfrecord_path: str, out_dir: str) -> int:  # pragma: no c
             sem, inst = (camera_segmentation_utils
                          .decode_semantic_and_instance_labels_from_panoptic_label(
                              panoptic_labels[i * ncam + j], divisor))
-            packed = (sem.astype(np.int32) * 1000
-                      + inst.astype(np.int32)).squeeze()
             # file cam index matches the reader's [1,0,2] order mapping
             cam_idx = [1, 0, 2][j]
-            np.save(os.path.join(out_dir, "panoptic_segs",
-                                 f"{t:03d}_{cam_idx}.npy"), packed)
+            np.save(os.path.join(out_dir, "semantic_segs",
+                                 f"{t:03d}_{cam_idx}.npy"), sem)
+            np.save(os.path.join(out_dir, "instance_segs",
+                                 f"{t:03d}_{cam_idx}.npy"), inst)
     return len(frame_ids)
 
 

@@ -48,6 +48,9 @@ class Camera:
     dynamic_mask: Optional[jnp.ndarray] = None  # [H,W] bool
     sky_mask: Optional[jnp.ndarray] = None      # [H,W] bool
     feat_map: Optional[jnp.ndarray] = None      # [H,W,3] PCA'd DINO features
+    semantic_mask: Optional[jnp.ndarray] = None  # [H,W] int32 waymo class ids
+    instance_mask: Optional[jnp.ndarray] = None  # [H,W] int32 instance ids
+    sam_mask: Optional[jnp.ndarray] = None       # [H,W] int32 SAM segment ids
 
     # --- per-camera scalars: data leaves (may be traced / batched) so
     # cameras with different fovs stack into one batch pytree ---
@@ -78,6 +81,9 @@ def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
                 dynamic_mask: Optional[np.ndarray] = None,
                 sky_mask: Optional[np.ndarray] = None,
                 feat_map: Optional[np.ndarray] = None,
+                semantic_mask: Optional[np.ndarray] = None,
+                instance_mask: Optional[np.ndarray] = None,
+                sam_mask: Optional[np.ndarray] = None,
                 uid: int = 0, cam_idx: int = 0, frame_idx: int = 0) -> Camera:
     """Build a Camera from COLMAP-convention R (c2w rotation) and T (w2c
     translation), replicating scene/cameras.py:26-64 of the reference
@@ -97,6 +103,11 @@ def make_camera(R: np.ndarray, T: np.ndarray, fovx: float, fovy: float,
         dynamic_mask=None if dynamic_mask is None else jnp.asarray(dynamic_mask),
         sky_mask=None if sky_mask is None else jnp.asarray(sky_mask),
         feat_map=None if feat_map is None else jnp.asarray(feat_map),
+        semantic_mask=(None if semantic_mask is None
+                       else jnp.asarray(semantic_mask, jnp.int32)),
+        instance_mask=(None if instance_mask is None
+                       else jnp.asarray(instance_mask, jnp.int32)),
+        sam_mask=None if sam_mask is None else jnp.asarray(sam_mask, jnp.int32),
         image_height=height, image_width=width,
         fovx=float(fovx), fovy=float(fovy),
         uid=uid, cam_idx=cam_idx, frame_idx=frame_idx,

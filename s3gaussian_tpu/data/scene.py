@@ -52,6 +52,8 @@ def load_scene(args: ModelParams, pool_capacity: Optional[int] = None,
             src, white_background=args.white_background, eval_=args.eval,
             load_sky_mask=args.load_sky_mask,
             load_dynamic_mask=args.load_dynamic_mask,
+            load_panoptic_mask=args.load_panoptic_mask,
+            load_sam_mask=args.load_sam_mask,
             load_feat_map=args.load_feat_map, start_time=args.start_time,
             end_time=args.end_time,
             original_start_time=args.original_start_time,

@@ -49,6 +49,10 @@ class SceneInfo:
     aabb: np.ndarray              # [2,3] cam-frustum aabb (min, max)
     occ_grid: Optional[np.ndarray] = None
     max_time: float = 1.0
+    # panoptic-object bookkeeping (dataset_readers.py:1056-1071)
+    num_panoptic_objects: int = 0
+    panoptic_object_ids: Optional[list] = None
+    panoptic_id_to_idx: Optional[dict] = None
 
 
 def _load_image(path: str, size_hw) -> np.ndarray:
@@ -119,8 +123,35 @@ def _feat_pca3(feat_path: str, size_hw, rng: np.random.Generator) -> np.ndarray:
     return red[yy[:, None], xx[None, :]].astype(np.float32)
 
 
+def _load_id_map(path: str, size_hw) -> np.ndarray:
+    """Integer id map (.npy semantic/instance labels) with NEAREST resize
+    (dataset_readers.py:443-460)."""
+    arr = np.load(path).squeeze()
+    sy = arr.shape[0] / size_hw[0]
+    sx = arr.shape[1] / size_hw[1]
+    yy = np.minimum((np.arange(size_hw[0]) * sy).astype(int), arr.shape[0] - 1)
+    xx = np.minimum((np.arange(size_hw[1]) * sx).astype(int), arr.shape[1] - 1)
+    return arr[yy[:, None], xx[None, :]].astype(np.int32)
+
+
+def panoptic_object_ids(cams) -> Tuple[int, list, dict]:
+    """Unique panoptic ids (semantic*1000 + instance) over train+test cams
+    (dataset_readers.py:1056-1071, utils/segmentation_utils.py:68-80)."""
+    ids = []
+    for c in cams:
+        if c.semantic_mask is not None and c.instance_mask is not None:
+            pan = (np.asarray(c.semantic_mask).astype(np.int64) * 1000
+                   + np.asarray(c.instance_mask).astype(np.int64))
+            ids.append(np.unique(pan))
+    if not ids:
+        return 0, [], {}
+    uniq = np.unique(np.concatenate(ids)).tolist()
+    return len(uniq), uniq, {pid: i for i, pid in enumerate(uniq)}
+
+
 def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
                load_sky_mask: bool = False, load_dynamic_mask: bool = True,
+               load_panoptic_mask: bool = False, load_sam_mask: bool = False,
                load_feat_map: bool = False, start_time: int = 0,
                end_time: int = -1, original_start_time: int = 0,
                num_pts: int = 1_500_000, stride: int = 0,
@@ -269,12 +300,31 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
         fm_path = os.path.join(path, "dinov2_vitb14", f"{frame:03d}_{cam_id}.npy")
         if load_feat_map and os.path.exists(fm_path):
             feat = _feat_pca3(fm_path, ls, rng)
+        sem = inst = sam = None
+        if load_panoptic_mask:
+            sp = os.path.join(path, "semantic_segs", f"{frame:03d}_{cam_id}.npy")
+            ip = os.path.join(path, "instance_segs", f"{frame:03d}_{cam_id}.npy")
+            if os.path.exists(sp):
+                sem = _load_id_map(sp, ls)
+            if os.path.exists(ip):
+                inst = _load_id_map(ip, ls)
+        if load_sam_mask:
+            sam_p = os.path.join(path, "sam_masks", f"{frame:03d}_{cam_id}.jpg")
+            if os.path.exists(sam_p):
+                from PIL import Image
+                s = Image.open(sam_p).resize((ls[1], ls[0]), Image.NEAREST)
+                sam = np.asarray(s)
+                if sam.ndim == 3:
+                    sam = sam[..., 0]
+                sam = sam.astype(np.int32)
         # reference time: mapper[absolute frame] = (frame - orig)/length
         # (dataset_readers.py:677-686, 992-999)
         return make_camera(R, T, fovx, fovy, ls[1], ls[0],
                            time=norm_time(frame),
                            image=img, depth_map=depth_maps[idx],
                            dynamic_mask=dyn, sky_mask=sky, feat_map=feat,
+                           semantic_mask=sem, instance_mask=inst,
+                           sam_mask=sam,
                            uid=idx, cam_idx=cam_id, frame_idx=int(t))
 
     train_idx = np.where(train_mask)[0]
@@ -293,8 +343,14 @@ def read_waymo(path: str, white_background: bool = False, eval_: bool = True,
     centers = np.stack([np.asarray(c.campos) for c in train_cams])
     radius = nerf_norm_radius(centers)
 
+    n_pan, pan_ids, pan_map = (panoptic_object_ids(train_cams + test_cams)
+                               if load_panoptic_mask else (0, None, None))
+
     return SceneInfo(points=points.astype(np.float32), colors=colors,
                      train_cameras=train_cams, test_cameras=test_cams,
                      full_cameras=full_cams, nerf_radius=radius, aabb=aabb,
                      occ_grid=occ_grid,
-                     max_time=norm_time(end_time - 1 - start_time))
+                     max_time=norm_time(end_time - 1 - start_time),
+                     num_panoptic_objects=n_pan,
+                     panoptic_object_ids=pan_ids,
+                     panoptic_id_to_idx=pan_map)

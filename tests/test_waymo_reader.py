@@ -73,3 +73,31 @@ def test_start_end_time_window(clip):
     frames = sorted({c.frame_idx for c in info.train_cameras})
     assert frames == [0, 1]  # relative indices for frames 1..2
     assert len(info.train_cameras) == 6
+
+
+def test_panoptic_mask_loading(clip):
+    """semantic_segs/instance_segs npys load, NEAREST-resize to the image
+    size, and the scene reports unique panoptic object ids
+    (dataset_readers.py:443-460,1056-1071)."""
+    info = read_waymo(clip, num_pts=2000, stride=0, load_panoptic_mask=True,
+                      load_size=(64, 96))
+    cam = info.train_cameras[0]   # frame 0, cam 1 (reader order [1,0,2])
+    assert cam.semantic_mask.shape == (64, 96)
+    assert cam.instance_mask.shape == (64, 96)
+    sem = np.asarray(cam.semantic_mask)
+    inst = np.asarray(cam.instance_mask)
+    # fixture: top half = class 10+cam, right half = instance (frame+1)
+    assert (sem[:32] == 11).all() and (sem[32:] == 0).all()
+    assert (inst[:, 48:] == 1).all() and (inst[:, :48] == 0).all()
+    # panoptic ids: classes {0,10,11,12} x instances {0,1,2,3} present
+    assert info.num_panoptic_objects > 0
+    assert info.panoptic_id_to_idx[info.panoptic_object_ids[0]] == 0
+    # ids pack as semantic*1000 + instance
+    assert 11_000 in info.panoptic_object_ids
+    assert 11_001 in info.panoptic_object_ids
+
+
+def test_panoptic_off_by_default(clip):
+    info = read_waymo(clip, num_pts=2000, stride=0)
+    assert info.train_cameras[0].semantic_mask is None
+    assert info.num_panoptic_objects == 0

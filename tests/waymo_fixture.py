@@ -12,7 +12,8 @@ def make_fixture(root, n_frames=3, n_lidar=500, seed=0):
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
     for d in ("intrinsics", "extrinsics", "ego_pose", "lidar",
-              "dynamic_masks", "sky_masks"):
+              "dynamic_masks", "sky_masks", "semantic_segs",
+              "instance_segs"):
         os.makedirs(os.path.join(root, d), exist_ok=True)
 
     # intrinsics: fx fy cx cy + 5 distortion entries (original 1280x1920)
@@ -45,6 +46,15 @@ def make_fixture(root, n_frames=3, n_lidar=500, seed=0):
             mask[:100, :100] = 255
             Image.fromarray(mask).save(
                 os.path.join(root, "dynamic_masks", f"{t:03d}_{cam}.png"))
+            # panoptic labels at a reduced resolution (reader NEAREST-resizes)
+            sem = np.zeros((160, 240, 1), np.int32)
+            sem[:80] = 10 + cam          # top half one class per camera
+            inst = np.zeros((160, 240, 1), np.int32)
+            inst[:, 120:] = t + 1        # right half one instance per frame
+            np.save(os.path.join(root, "semantic_segs", f"{t:03d}_{cam}.npy"),
+                    sem)
+            np.save(os.path.join(root, "instance_segs", f"{t:03d}_{cam}.npy"),
+                    inst)
 
         # lidar: N x 10 [origins(3), points(3), ground, intensity,
         # elongation, laser_id] in ego frame
