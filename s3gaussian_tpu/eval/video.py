@@ -34,7 +34,9 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                   compute_metrics: bool = True,
                   return_decomposition: bool = True,
                   num_cams: int = 3,
-                  flow_offset: int = 3) -> Dict[str, List]:
+                  flow_offset: int = 3,
+                  save_separate_pcd: bool = False,
+                  pcd_dir: str = "") -> Dict[str, List]:
     """Render every camera in a split; collect frames + metrics
     (video_utils.py:74-349)."""
     keys = ["rgbs", "gt_rgbs", "depths", "dynamic_rgbs", "static_rgbs",
@@ -47,7 +49,7 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
     for cam in cameras:
         pkg = render(cam, pool, deform, hp, pipe, bg, aabb, active_sh_degree,
                      stage=stage, return_decomposition=return_decomposition,
-                     return_dx=("fine" in stage))
+                     return_dx=("fine" in stage), cfg=cfg)
         rgb = np.clip(np.asarray(pkg["render"]).transpose(1, 2, 0), 0, 1)
         gt = np.asarray(cam.image)
         out["rgbs"].append(rgb)
@@ -73,6 +75,15 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                                           jnp.asarray(m))))
                     metrics["masked_ssim"].append(masked_ssim(rgb, gt, m))
 
+    # dynamic/static split PLY export keyed on |dx| at the reference's
+    # probe view (video_utils.py:243-250 → gaussian_model.py:277-348)
+    have_dx = [d for d in dx_per_cam if d is not None]
+    if save_separate_pcd and len(have_dx) > 1:
+        from s3gaussian_tpu.train.checkpoints import save_ply_split
+        probe = have_dx[min(24, len(have_dx) - 1)]
+        save_ply_split(os.path.join(pcd_dir, "dynamic.ply"),
+                       os.path.join(pcd_dir, "static.ply"), pool, probe)
+
     # scene flow from dx differences across timesteps (video_utils.py:252-299)
     if any(d is not None for d in dx_per_cam) and len(cameras) > num_cams:
         n = len(cameras)
@@ -88,7 +99,7 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                 colors = scene_flow_to_rgb(flow, flow_max_radius=2.0)
                 pkg = render(cam, pool, deform, hp, pipe, bg, aabb,
                              active_sh_degree, stage=stage,
-                             override_color=jnp.asarray(colors))
+                             override_color=jnp.asarray(colors), cfg=cfg)
                 out[key].append(
                     np.clip(np.asarray(pkg["render"]).transpose(1, 2, 0), 0, 1))
 
@@ -141,7 +152,8 @@ def save_videos(frames: Dict[str, List[np.ndarray]], save_pth: str,
 def do_evaluation(train_cams, test_cams, full_cams, pool, deform, hp, pipe,
                   bg, aabb, active_sh_degree, stage, cfg, eval_dir: str,
                   step: int = 0, render_full: bool = True,
-                  save_video: bool = True, num_cams: int = 3) -> Dict:
+                  save_video: bool = True, num_cams: int = 3,
+                  save_separate_pcd: bool = False) -> Dict:
     """train.py:61-215: per-split metric JSONs + videos."""
     os.makedirs(os.path.join(eval_dir, "metrics"), exist_ok=True)
     results = {}
@@ -153,7 +165,10 @@ def do_evaluation(train_cams, test_cams, full_cams, pool, deform, hp, pipe,
             continue
         frames = render_pixels(cams, pool, deform, hp, pipe, bg, aabb,
                                active_sh_degree, stage, cfg,
-                               num_cams=num_cams)
+                               num_cams=num_cams,
+                               save_separate_pcd=(save_separate_pcd
+                                                  and split == "full"),
+                               pcd_dir=os.path.join(eval_dir, "pcd"))
         metrics = frames.get("metrics", {})
         results[split] = metrics
         ts = time.strftime("%Y%m%d%H%M%S")

@@ -98,6 +98,33 @@ def save_ply_pool(path: str, pool: GaussianPool) -> None:
     write_ply(path, gaussian_ply_fields(xyz, f_dc, f_rest, op, sc, rot))
 
 
+def save_ply_split(dynamic_path: str, static_path: str, pool: GaussianPool,
+                   dx: np.ndarray) -> np.ndarray:
+    """Dynamic/static split PLY export keyed on per-Gaussian |dx|
+    (gaussian_model.py:277-348): positions are advanced by ``dx`` (the
+    deformation at the reference's probe timestep), a Gaussian is dynamic
+    when max|dx| exceeds the mean of that statistic over alive rows.
+    Returns the dynamic mask over the pool (for callers/tests)."""
+    alive = np.asarray(pool.alive)
+    dx = np.asarray(dx)
+    max_dx = np.abs(dx).max(axis=1)
+    thr = max_dx[alive].mean() if alive.any() else 0.0
+    dyn = (max_dx > thr) & alive
+    stat = (~(max_dx > thr)) & alive
+
+    xyz = np.asarray(pool.xyz) + dx
+    f_dc = np.asarray(pool.features_dc)
+    f_rest = np.asarray(pool.features_rest)
+    op = np.asarray(pool.opacity)
+    sc = np.asarray(pool.scaling)
+    rot = np.asarray(pool.rotation)
+    for path, m in ((dynamic_path, dyn), (static_path, stat)):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        write_ply(path, gaussian_ply_fields(xyz[m], f_dc[m], f_rest[m],
+                                            op[m], sc[m], rot[m]))
+    return dyn
+
+
 def load_ply_pool(path: str, capacity: Optional[int] = None,
                   max_sh_degree: int = 3) -> GaussianPool:
     xyz, f_dc, f_rest, op, sc, rot = parse_gaussian_ply(read_ply(path),

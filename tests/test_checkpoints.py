@@ -89,3 +89,27 @@ def test_old_checkpoints_deleted(tmp_path):
     assert found[2] == 10
     import os
     assert not os.path.exists(str(tmp_path / "chkpnt_coarse_5"))
+
+
+def test_save_ply_split_dynamic_static(tmp_path):
+    """|dx|-keyed dynamic/static split export (gaussian_model.py:277-348):
+    positions advanced by dx; threshold = mean over alive of max|dx|."""
+    import numpy as np
+    from s3gaussian_tpu.models.pool import create_from_pcd
+    from s3gaussian_tpu.train.checkpoints import save_ply_split
+    from s3gaussian_tpu.utils.ply import parse_gaussian_ply, read_ply
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(20, 3)).astype(np.float32)
+    pool = create_from_pcd(pts, rng.random((20, 3)).astype(np.float32), 32)
+    dx = np.zeros((32, 3), np.float32)
+    dx[:5] = 2.0  # five clearly-moving gaussians
+    dyn_p = str(tmp_path / "dynamic.ply")
+    stat_p = str(tmp_path / "static.ply")
+    mask = save_ply_split(dyn_p, stat_p, pool, dx)
+    assert mask[:5].all() and not mask[5:].any()
+    d_xyz = parse_gaussian_ply(read_ply(dyn_p), 3)[0]
+    s_xyz = parse_gaussian_ply(read_ply(stat_p), 3)[0]
+    assert len(d_xyz) == 5 and len(s_xyz) == 15
+    np.testing.assert_allclose(d_xyz, pts[:5] + 2.0, atol=1e-6)
+    np.testing.assert_allclose(s_xyz, pts[5:], atol=1e-6)
