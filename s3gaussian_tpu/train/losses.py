@@ -48,12 +48,29 @@ def depth_loss(pred, gt, loss_type: str = "l2", max_depth: float = 80.0):
 
 
 @functools.lru_cache(maxsize=None)
-def _ssim_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+def _ssim_gauss1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     g = np.exp(-((np.arange(window_size) - window_size // 2) ** 2)
                / (2 * sigma ** 2))
-    g = g / g.sum()
-    w = np.outer(g, g).astype(np.float32)
-    return w
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(x, window_size: int = 11):
+    """Separable gaussian blur of [..., H, W] as shifted weighted adds.
+
+    The 11x11 window is an outer product, so two 1D passes suffice; on TPU
+    a grouped 3-channel conv leaves the MXU idle, while XLA fuses the 2x11
+    shifted adds into two VPU passes (~2x faster forward, ~2x backward —
+    the gradient of a shift is a shift).  Zero padding on both factors
+    reproduces the 2D same-padding conv exactly."""
+    g = _ssim_gauss1d(window_size)
+    pad = window_size // 2
+    h, w = x.shape[-2], x.shape[-1]
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(pad, pad), (0, 0)])
+    x = sum(float(g[k]) * jax.lax.dynamic_slice_in_dim(xp, k, h, x.ndim - 2)
+            for k in range(window_size))
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 0), (pad, pad)])
+    return sum(float(g[k]) * jax.lax.dynamic_slice_in_dim(xp, k, w, x.ndim - 1)
+               for k in range(window_size))
 
 
 def ssim(img1, img2, window_size: int = 11):
@@ -61,18 +78,9 @@ def ssim(img1, img2, window_size: int = 11):
     depthwise gaussian window, same padding, C1=0.01², C2=0.03²)."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
-    b, c, h, w = img1.shape
-    win = jnp.asarray(_ssim_window(window_size))
-    kernel = jnp.broadcast_to(win[None, None], (c, 1, window_size, window_size))
-    pad = window_size // 2
 
     def conv(x):
-        return jax.lax.conv_general_dilated(
-            x, kernel, window_strides=(1, 1),
-            padding=[(pad, pad), (pad, pad)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            feature_group_count=c,
-            precision=jax.lax.Precision.HIGHEST)
+        return _blur(x, window_size)
 
     mu1, mu2 = conv(img1), conv(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
