@@ -42,7 +42,10 @@ def main():
 
     H, W = 640, 960
     N = 200_000
-    CAP = 1 << 18
+    # capacity right-sized to the workload (multiple of 2048 above N): the
+    # deformation field, projection and Adam all run over every pool row,
+    # so dead slack is pure waste — r1 carried 62k dead rows (1<<18)
+    CAP = 204_800
     rng = np.random.default_rng(0)
     tan = np.tan(0.5)
     z = rng.uniform(1.0, 60.0, N)
@@ -59,7 +62,7 @@ def main():
     # pair_budget = max_visible·rect_cap: NO pair clamping — the headline
     # number must be measured with every emitted pair rendered (r1's 1<<21
     # budget silently saturated; VERDICT r1 weak #2)
-    cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=1 << 18,
+    cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=CAP,
                        rect_w=4, rect_h=4, pair_budget=1 << 22)
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
