@@ -43,11 +43,18 @@ from s3gaussian_tpu.ops.composite import (ALPHA_MAX, ALPHA_MIN,
                                           FX, FY, FCA, FCB, FCC, FOP, FR,
                                           FD, FONE)
 
-BLK = 128  # pairs per stream block == kernel chunk size
+BLK = 128  # minimum stream block; chunk must be a positive multiple
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _blk(chunk: int) -> int:
+    """Kernel block size: the caller's chunk rounded to a lane multiple.
+    Bigger blocks amortize the while-loop and DMA-issue overhead per tile;
+    smaller ones give finer early-exit granularity."""
+    return max(BLK, (chunk // BLK) * BLK)
 
 
 def _pixel_cols(tile_index, grid_x: int, tile_x: int, tile_y: int):
@@ -96,11 +103,11 @@ def _block_alpha(feat, valid, px, py):
     return am, G, opac, dx, dy, ca, cb, cc
 
 
-def pad_stream(pair_feat: jnp.ndarray) -> jnp.ndarray:
-    """[16, M] feature-major stream -> [16, M_pad] with M_pad a BLK multiple
+def pad_stream(pair_feat: jnp.ndarray, blk: int = BLK) -> jnp.ndarray:
+    """[16, M] feature-major stream -> [16, M_pad] with M_pad a blk multiple
     (feature-major storage means block DMA slices are 128-lane aligned)."""
     m = pair_feat.shape[1]
-    m_pad = -(-m // BLK) * BLK
+    m_pad = -(-m // blk) * blk
     return jnp.concatenate(
         [pair_feat,
          jnp.zeros((PAIR_FEAT_DIM, m_pad - m), pair_feat.dtype)], 1)
@@ -111,18 +118,18 @@ def pad_stream(pair_feat: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
-                *, grid_x: int, tile_x: int, tile_y: int):
+                *, grid_x: int, tile_x: int, tile_y: int, blk: int):
     t = pl.program_id(0)
     start = tile_starts[t]
     end = tile_starts[t + 1]
-    b0 = start // BLK
-    b1 = pl.cdiv(end, BLK)
+    b0 = start // blk
+    b1 = pl.cdiv(end, blk)
     px, py = _pixel_cols(t, grid_x, tile_x, tile_y)
     p = tile_x * tile_y
 
     def dma(slot, b):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(b * BLK, BLK)],
+            feat_hbm.at[:, pl.ds(b * blk, blk)],
             chunkbuf.at[slot], sems.at[slot])
 
     @pl.when(b1 > b0)
@@ -143,7 +150,7 @@ def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
 
         dma(slot, b).wait()
         feat = chunkbuf[slot, :, :]                # [16, C]
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + b * BLK
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + b * blk
         valid = (gidx >= start) & (gidx < end)
         am, _, _, _, _, _, _, _ = _block_alpha(feat, valid, px, py)
         one_m = 1.0 - am                           # [P,C]
@@ -156,12 +163,12 @@ def _fwd_kernel(tile_starts, feat_hbm, out_ref, chunkbuf, sems,
             rgbd1, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)     # [5,P]
-        ones_row = jnp.ones((1, BLK), jnp.float32)
+        ones_row = jnp.ones((1, blk), jnp.float32)
         nc = nc + jax.lax.dot_general(
             ones_row, contrib.astype(jnp.float32), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)     # [1,P]
-        t_col = cum_incl[:, BLK - 1:BLK]
+        t_col = cum_incl[:, blk - 1:blk]
         return b + 1, t_col, acc, nc
 
     init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((5, p), jnp.float32),
@@ -184,13 +191,13 @@ def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
                          chunk: int = BLK) -> jnp.ndarray:
     """pair_feat [16, M] (feature-major sorted pair stream),
     tile_starts [T+1] -> [T,8,P]."""
-    del chunk  # the block layout fixes the chunk at BLK
+    blk = _blk(chunk)
     n_tiles = grid_x * grid_y
     p = tile_x * tile_y
-    blocks = pad_stream(pair_feat)
+    blocks = pad_stream(pair_feat, blk)
 
     kernel = functools.partial(_fwd_kernel, grid_x=grid_x,
-                               tile_x=tile_x, tile_y=tile_y)
+                               tile_x=tile_x, tile_y=tile_y, blk=blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -198,7 +205,7 @@ def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         out_specs=pl.BlockSpec((1, N_OUT_ROWS, p), lambda i, s: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, PAIR_FEAT_DIM, BLK), jnp.float32),
+            pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -218,13 +225,13 @@ def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
 
 def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                 grads_hbm, gbuf, gprev, chunkbuf, sems, wsem, rsem,
-                *, grid_x: int, tile_x: int, tile_y: int):
+                *, grid_x: int, tile_x: int, tile_y: int, blk: int):
     del ginit_hbm  # aliased to grads_hbm; zero-initialized by the caller
     t = pl.program_id(0)
     start = tile_starts[t]
     end = tile_starts[t + 1]
-    b0 = start // BLK
-    b1 = pl.cdiv(end, BLK)
+    b0 = start // blk
+    b1 = pl.cdiv(end, blk)
     px, py = _pixel_cols(t, grid_x, tile_x, tile_y)
     p = tile_x * tile_y
 
@@ -233,10 +240,15 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
         [outt_ref[0, :, 0:4], 1.0 - outt_ref[0, :, 4:5]], axis=1)   # [P,5]
     d5 = jnp.concatenate(
         [doutt_ref[0, :, 0:4], -doutt_ref[0, :, 4:5]], axis=1)      # [P,5]
+    # d5 is constant per tile, so the channel contraction commutes with the
+    # running prefix sums: the 5 per-channel suffix states collapse to ONE
+    # scalar-per-pixel state E = Σ_ch d5_ch·(·), and the per-block work
+    # needs a single cumsum of w·e (e = d5·c) instead of five.
+    e_total = jnp.sum(d5 * totals5, axis=1, keepdims=True)          # [P,1]
 
     def dma_in(slot, b):
         return pltpu.make_async_copy(
-            feat_hbm.at[:, pl.ds(b * BLK, BLK)],
+            feat_hbm.at[:, pl.ds(b * blk, blk)],
             chunkbuf.at[slot], sems.at[slot])
 
     @pl.when(b1 > b0)
@@ -253,7 +265,7 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
 
         dma_in(slot, b).wait()
         feat = chunkbuf[slot, :, :]                 # [16,C]
-        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1) + b * BLK
+        gidx = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1) + b * blk
         valid = (gidx >= start) & (gidx < end)
         am, G, opac, dx, dy, ca, cb, cc = _block_alpha(feat, valid, px, py)
         one_m = 1.0 - am
@@ -269,19 +281,17 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                                precision=jax.lax.Precision.HIGHEST)     # [5,C]
 
         inv_one_m = 1.0 / one_m
-        d_alpha = jnp.zeros((p, BLK), jnp.float32)
-        new_prefix_cols = []
-        for ch in range(5):
-            c_row = feat[FR + ch:FR + ch + 1, :]            # [1,C]
-            contrib_ch = w * c_row
-            cums = _cumsum_lane(contrib_ch)                  # [P,C]
-            suffix = (totals5[:, ch:ch + 1] - prefix[:, ch:ch + 1]) - cums
-            d_alpha = d_alpha + d5[:, ch:ch + 1] * (
-                c_row * cum_excl - suffix * inv_one_m)
-            new_prefix_cols.append(prefix[:, ch:ch + 1]
-                                   + cums[:, BLK - 1:BLK])
+        # e_k = Σ_ch d5_ch·c_ch,k  (the ones channel rides along in rgbd1)
+        rgbd1 = feat[FR:FONE + 1, :]                         # [5,C]
+        e = jax.lax.dot_general(
+            d5, rgbd1, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # [P,C]
+        cums_we = _cumsum_lane(w * e)                        # [P,C]
+        suffix_e = (e_total - prefix) - cums_we
+        d_alpha = e * cum_excl - suffix_e * inv_one_m
         d_alpha = jnp.where(contrib, d_alpha, 0.0)
-        prefix = jnp.concatenate(new_prefix_cols, axis=1)
+        prefix = prefix + cums_we[:, blk - 1:blk]
 
         d_G = opac * d_alpha
         d_power = d_G * G
@@ -292,7 +302,7 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                                        preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
 
-        gbuf[:, :] = jnp.zeros((PAIR_FEAT_DIM, BLK), jnp.float32)
+        gbuf[:, :] = jnp.zeros((PAIR_FEAT_DIM, blk), jnp.float32)
         gbuf[FX:FX + 1, :] = psum(d_power * (-ca * dx - cb * dy))
         gbuf[FY:FY + 1, :] = psum(d_power * (-cc * dy - cb * dx))
         gbuf[FCA:FCA + 1, :] = psum(d_power * (-0.5 * dx * dx))
@@ -308,24 +318,24 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
         @pl.when((b == b0) | (b == b1 - 1))
         def _():
             rdma = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(b * BLK, BLK)], gprev, rsem)
+                grads_hbm.at[:, pl.ds(b * blk, blk)], gprev, rsem)
             rdma.start()
             rdma.wait()
             gbuf[:, :] = gbuf[:, :] + gprev[:, :]
 
-        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(b * BLK, BLK)],
+        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(b * blk, blk)],
                                      wsem)
         wdma.start()
         wdma.wait()
 
-        t_col = cum_incl[:, BLK - 1:BLK]
+        t_col = cum_incl[:, blk - 1:blk]
         return b + 1, t_col, prefix
 
     def cond(state):
         b, t_col, _ = state
         return (b < b1) & (jnp.max(t_col) >= T_EPS)
 
-    init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 5), jnp.float32))
+    init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
     b_final, _, _ = jax.lax.while_loop(cond, body, init)
 
     # drain the prefetched-but-unconsumed DMA after an early exit
@@ -344,18 +354,18 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
     accumulated into (the output starts from donated zeros).  Lanes past
     the global valid range are masked by the caller.
     """
-    del chunk
+    blk = _blk(chunk)
     n_tiles = grid_x * grid_y
     p = tile_x * tile_y
     m = pair_feat.shape[1]
-    blocks = pad_stream(pair_feat)
+    blocks = pad_stream(pair_feat, blk)
     m_pad = blocks.shape[1]
     out_t = out_fwd.transpose(0, 2, 1)   # [T, P, 8]
     dout_t = dout.transpose(0, 2, 1)
     grads_init = jnp.zeros((PAIR_FEAT_DIM, m_pad), jnp.float32)
 
     kernel = functools.partial(_bwd_kernel, grid_x=grid_x,
-                               tile_x=tile_x, tile_y=tile_y)
+                               tile_x=tile_x, tile_y=tile_y, blk=blk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_tiles,),
@@ -369,9 +379,9 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((PAIR_FEAT_DIM, BLK), jnp.float32),     # grad buf
-            pltpu.VMEM((PAIR_FEAT_DIM, BLK), jnp.float32),     # rmw buf
-            pltpu.VMEM((2, PAIR_FEAT_DIM, BLK), jnp.float32),  # chunk buf
+            pltpu.VMEM((PAIR_FEAT_DIM, blk), jnp.float32),     # grad buf
+            pltpu.VMEM((PAIR_FEAT_DIM, blk), jnp.float32),     # rmw buf
+            pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # chunk buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,

@@ -30,6 +30,7 @@ def main(argv=None):
     parser.add_argument("--rect", type=int, default=5)
     parser.add_argument("--tile", type=int, default=16)
     parser.add_argument("--pair_budget", type=int, default=1 << 22)
+    parser.add_argument("--chunk", type=int, default=128)
     args = parser.parse_args(argv)
 
     import jax
@@ -87,10 +88,10 @@ def main(argv=None):
         p.xy, p.conic, opac, cols, p.depth)[:, bb.sel[bb.sorted_gid]],
         proj, b)
     out = timed("fwd kernel", lambda pf, ts: tk.composite_fwd_pallas(
-        pf, ts, GX, GY, TX, TY), feat, b.tile_starts)
+        pf, ts, GX, GY, TX, TY, args.chunk), feat, b.tile_starts)
     dout = jnp.zeros_like(out).at[:, 0:4].set(1.0)
     pg = timed("bwd kernel", lambda pf, ts, o, do: tk.composite_bwd_pallas(
-        pf, ts, o, do, GX, GY, TX, TY), feat, b.tile_starts, out, dout)
+        pf, ts, o, do, GX, GY, TX, TY, args.chunk), feat, b.tile_starts, out, dout)
     bp = feat.shape[1]
 
     def reduce_gid(g, bb):
