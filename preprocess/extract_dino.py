@@ -17,6 +17,53 @@ import argparse
 import os
 
 
+def patch_vit_stride(model, stride: int):
+    """Densify a ViT's patch grid by shrinking the patch-embed conv stride,
+    with a stride-aware positional-embedding interpolation.
+
+    Parity: ``ViTExtractor.patch_vit_resolution`` + ``_fix_pos_enc``
+    (utils/feature_extractor.py:184-250) — the stock model interpolates
+    its pos-embed for ``w // patch_size`` tokens, which is wrong once the
+    stride differs from the patch size, so the method must be replaced
+    with one that computes ``1 + (w - patch) // stride`` tokens.
+    Returns (model, patch_size)."""
+    import math
+    import types
+
+    import torch
+
+    patch = model.patch_embed.proj.kernel_size[0]
+    if stride == patch:
+        return model, patch
+    assert (patch % stride) == 0, \
+        f"stride {stride} must divide patch size {patch}"
+    model.patch_embed.proj.stride = (stride, stride)
+
+    def interpolate_pos_encoding(self, x, w, h):
+        npatch = x.shape[1] - 1
+        pos = self.pos_embed
+        n = pos.shape[1] - 1
+        w0 = 1 + (w - patch) // stride
+        h0 = 1 + (h - patch) // stride
+        assert h0 * w0 == npatch, (
+            f"grid {h0}x{w0} != {npatch} tokens (input {h}x{w}, "
+            f"patch {patch}, stride {stride})")
+        if npatch == n and w0 == h0:
+            return pos
+        class_emb, patch_pos = pos[:, 0], pos[:, 1:]
+        dim = x.shape[-1]
+        m = int(math.sqrt(n))
+        interp = torch.nn.functional.interpolate(
+            patch_pos.reshape(1, m, m, dim).permute(0, 3, 1, 2),
+            size=(h0, w0), mode="bicubic", align_corners=False)
+        interp = interp.permute(0, 2, 3, 1).view(1, -1, dim)
+        return torch.cat((class_emb.unsqueeze(0), interp), dim=1)
+
+    model.interpolate_pos_encoding = types.MethodType(
+        interpolate_pos_encoding, model)
+    return model, patch
+
+
 def extract(clip_dir: str, img_shape=(644, 966), stride: int = 7,
             model_type: str = "dinov2_vitb14") -> None:
     import numpy as np
@@ -27,12 +74,7 @@ def extract(clip_dir: str, img_shape=(644, 966), stride: int = 7,
     os.makedirs(out_dir, exist_ok=True)
     model = torch.hub.load("facebookresearch/dinov2", model_type)
     model.eval()
-    patch = model.patch_embed.proj.kernel_size[0]
-    # stride override for denser features (feature_extractor.py ViTExtractor)
-    model.patch_embed.proj.stride = (stride, stride)
-
-    def pos_embed_interp(m, w, h):
-        return m  # dinov2 interpolates internally
+    model, patch = patch_vit_stride(model, stride)
 
     imgs = sorted(os.listdir(os.path.join(clip_dir, "images")))
     with torch.no_grad():
