@@ -165,14 +165,11 @@ def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
     return loss, aux
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"))
-def train_step(state: TrainState, camera: Camera, stage: str,
-               active_sh_degree: int, hp: ModelHiddenParams,
-               opt: OptimizationParams, pipe: PipelineParams,
-               cfg: RasterConfig, spatial_lr_scale: float, bg: jnp.ndarray,
-               use_custom_vjp: bool = True):
+def _train_step_impl(state: TrainState, camera: Camera, stage: str,
+                     active_sh_degree: int, hp: ModelHiddenParams,
+                     opt: OptimizationParams, pipe: PipelineParams,
+                     cfg: RasterConfig, spatial_lr_scale: float,
+                     bg: jnp.ndarray, use_custom_vjp: bool = True):
     params = {"pool": state.pool.param_dict(), "deform": state.deform}
     tap = jnp.zeros((state.pool.capacity, 2))
 
@@ -211,6 +208,43 @@ def train_step(state: TrainState, camera: Camera, stage: str,
                            nan_skips=state.nan_skips
                            + (1 - finite.astype(jnp.int32)))
     return new_state, aux
+
+
+train_step = functools.partial(jax.jit, static_argnames=(
+    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
+    "spatial_lr_scale", "use_custom_vjp"))(_train_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
+    "spatial_lr_scale", "use_custom_vjp"))
+def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
+                     active_sh_degree: int, hp: ModelHiddenParams,
+                     opt: OptimizationParams, pipe: PipelineParams,
+                     cfg: RasterConfig, spatial_lr_scale: float,
+                     bg: jnp.ndarray, use_custom_vjp: bool = True):
+    """Several sequential train steps in ONE compiled program.
+
+    ``cameras`` is a stacked Camera pytree (data.cameras.stack_cameras)
+    whose leading axis is the number of steps; ``lax.scan`` threads the
+    state through them.  Per-step host dispatch over a remote-device
+    transport costs ~25 ms — at ~200 ms/step that is >10% throughput, and
+    the reference's cadences (log/densify every 100) leave long untouched
+    runs between host-side events.  Returns (state, aux) where the metric
+    scalars and budget counters carry a leading per-step axis."""
+
+    def body(s, cam):
+        s2, aux = _train_step_impl(s, cam, stage, active_sh_degree, hp, opt,
+                                   pipe, cfg, spatial_lr_scale, bg,
+                                   use_custom_vjp)
+        small = {"metrics": aux["metrics"],
+                 "n_pairs": aux["n_pairs"],
+                 "overflow_rect": aux["overflow_rect"],
+                 "overflow_visible": aux["overflow_visible"],
+                 "overflow_pairs": aux["overflow_pairs"]}
+        return s2, small
+
+    return jax.lax.scan(body, state, cameras)
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "max_screen_size",

@@ -119,3 +119,36 @@ def test_stats_accumulate_during_training():
     assert float(jnp.sum(state.stats.denom)) > 0
     assert float(jnp.sum(state.stats.xyz_grad_accum)) > 0
     assert float(jnp.max(state.stats.max_radii2d)) > 0
+
+
+def test_scan_steps_match_sequential():
+    """train_steps_scan (n steps per dispatch) must produce exactly the
+    same state chain as n sequential train_step calls."""
+    import dataclasses
+    import jax.numpy as jnp
+    from s3gaussian_tpu.config import OptimizationParams
+    from s3gaussian_tpu.data.cameras import stack_cameras
+    from s3gaussian_tpu.train.trainer import train_step, train_steps_scan
+
+    state, camera, hp, pipe, bg = setup(seed=2)
+    opt = OptimizationParams()
+    cams = [dataclasses.replace(camera,
+                                time=jnp.asarray(0.1 * i, jnp.float32))
+            for i in range(3)]
+
+    s_seq = state
+    for c in cams:
+        s_seq, aux_seq = train_step(s_seq, c, "fine", 0, hp, opt, pipe,
+                                    CFG, 1.0, bg)
+
+    s_scan, aux_scan = train_steps_scan(state, stack_cameras(cams), "fine",
+                                        0, hp, opt, pipe, CFG, 1.0, bg)
+    np.testing.assert_allclose(np.asarray(s_scan.pool.xyz),
+                               np.asarray(s_seq.pool.xyz), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(s_scan.stats.xyz_grad_accum),
+                               np.asarray(s_seq.stats.xyz_grad_accum),
+                               atol=1e-7)
+    assert int(s_scan.step) == int(s_seq.step) == 3
+    assert aux_scan["metrics"]["loss"].shape == (3,)
+    np.testing.assert_allclose(float(aux_scan["metrics"]["loss"][-1]),
+                               float(aux_seq["metrics"]["loss"]), rtol=1e-6)

@@ -43,6 +43,9 @@ def main(argv=None):
     parser.add_argument("--prior_checkpoint", type=str, default=None)
     parser.add_argument("--bench_iters", type=int, default=0,
                         help="run only N timed iterations per stage")
+    parser.add_argument("--steps_per_dispatch", type=int, default=10,
+                        help="scan up to N plain train steps per device "
+                             "dispatch (1 = step-by-step)")
     args = parser.parse_args(argv)
 
     model = extract_group(ModelParams, args)
@@ -68,7 +71,8 @@ def main(argv=None):
     from s3gaussian_tpu.train import checkpoints as ckpt
     from s3gaussian_tpu.train.trainer import (densify_schedule, densify_step,
                                               init_state, opacity_reset_step,
-                                              reinit_optimizer, train_step)
+                                              reinit_optimizer, train_step,
+                                              train_steps_scan)
 
     if not model.model_path:
         model.model_path = os.path.join("./output", args.expname)
@@ -140,16 +144,41 @@ def main(argv=None):
                 shard_camera_batch)
             mesh = make_mesh(opt.batch_size)
             state = replicate_state(state, mesh)
-        for iteration in range(first_iter, final_iter + 1):
+        def pop_cam():
+            nonlocal stack
+            if not stack:
+                stack = list(range(len(cams)))
+                random.shuffle(stack)
+            return cams[stack.pop()]
+
+        def event_after(i):
+            """Host work runs after step i (log/densify/reset/ckpt/eval) —
+            a scanned block must end there."""
+            if i % 100 == 0 or i == first_iter or i == 30000:
+                return True
+            if i in args.checkpoint_iterations:
+                return True
+            if i < opt.densify_until_iter and (
+                    (i > opt.densify_from_iter
+                     and i % opt.densification_interval == 0)
+                    or i % opt.opacity_reset_interval == 0):
+                return True
+            if model.render_process and not args.bench_iters:
+                if ((i < 10000 and i % 1000 == 999)
+                        or (i < 30000 and i % 2000 == 1999)
+                        or i % 3000 == 2999):
+                    return True
+            if args.bench_iters and n_done + (i - iteration) >= args.bench_iters:
+                return True
+            return False
+
+        spd = max(int(args.steps_per_dispatch), 1)
+        iteration = first_iter
+        while iteration <= final_iter:
             if iteration % 1000 == 0:
                 active_sh = min(active_sh + 1, model.sh_degree)
             if use_parallel:
-                batch = []
-                for _ in range(opt.batch_size):
-                    if not stack:
-                        stack = list(range(len(cams)))
-                        random.shuffle(stack)
-                    batch.append(cams[stack.pop()])
+                batch = [pop_cam() for _ in range(opt.batch_size)]
                 if par_step is None or par_step[1] != active_sh:
                     par_step = (make_parallel_train_step(
                         mesh, stage, active_sh, hyper, opt, pipe, cfg,
@@ -158,14 +187,28 @@ def main(argv=None):
                     state, shard_camera_batch(stack_cameras(batch), mesh), bg)
                 n_done += 1
             else:
-                if not stack:
-                    stack = list(range(len(cams)))
-                    random.shuffle(stack)
-                cam = cams[stack.pop()]
-                state, aux = train_step(state, cam, stage, active_sh, hyper,
-                                        opt, pipe, cfg, scene.cameras_extent,
-                                        bg)
-                n_done += 1
+                # scan a full block of plain steps in one dispatch when no
+                # host-side event (log/densify/ckpt/SH bump) falls inside it
+                block_ok = (spd > 1 and iteration + spd - 1 <= final_iter
+                            and not any(event_after(iteration + j)
+                                        for j in range(spd - 1))
+                            and not any((iteration + j) % 1000 == 0
+                                        for j in range(1, spd)))
+                if block_ok:
+                    from s3gaussian_tpu.data.cameras import stack_cameras \
+                        as _stack
+                    block = _stack([pop_cam() for _ in range(spd)])
+                    state, aux = train_steps_scan(
+                        state, block, stage, active_sh, hyper, opt, pipe,
+                        cfg, scene.cameras_extent, bg)
+                    aux = jax.tree_util.tree_map(lambda x: x[-1], aux)
+                    n_done += spd
+                    iteration += spd - 1
+                else:
+                    state, aux = train_step(state, pop_cam(), stage,
+                                            active_sh, hyper, opt, pipe,
+                                            cfg, scene.cameras_extent, bg)
+                    n_done += 1
 
             if iteration % 100 == 0 or iteration == first_iter:
                 m = {k: float(v) for k, v in aux["metrics"].items()}
@@ -231,6 +274,7 @@ def main(argv=None):
 
             if args.bench_iters and n_done >= args.bench_iters:
                 break
+            iteration += 1
         return state
 
     # stage 1: coarse (static)
