@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class ProjectedGaussians(NamedTuple):
@@ -190,14 +191,17 @@ def project_gaussians(
 
 
 def sh_to_color(shs: jnp.ndarray, means3d: jnp.ndarray, campos: jnp.ndarray,
-                active_degree: int) -> jnp.ndarray:
+                active_degree) -> jnp.ndarray:
     """SH -> clamped RGB along the view direction.
 
     Parity: the python convert_SHs path (gaussian_renderer/__init__.py:107-119):
     ``clamp_min(eval_sh(deg, sh, dir) + 0.5, 0)``.  ``shs`` is [N, K, 3]
     (coefficient-major like the reference's ``get_features``).
-    """
-    from s3gaussian_tpu.ops.sh import eval_sh
+
+    ``active_degree`` may be a static Python int (degree-specialized XLA
+    program) or a traced scalar (band-masked full-degree evaluation — one
+    compile across the oneupSHdegree schedule)."""
+    from s3gaussian_tpu.ops.sh import eval_sh, eval_sh_dynamic
 
     dirs = means3d - campos[None, :]
     # clamped norm: dead pool slots can sit exactly at the camera origin,
@@ -205,5 +209,9 @@ def sh_to_color(shs: jnp.ndarray, means3d: jnp.ndarray, campos: jnp.ndarray,
     dirs = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True),
                               1e-8)
     sh_view = jnp.swapaxes(shs, -1, -2)  # [N, 3, K]
-    rgb = eval_sh(active_degree, sh_view, dirs)
+    if isinstance(active_degree, int):
+        rgb = eval_sh(active_degree, sh_view, dirs)
+    else:
+        rgb = eval_sh_dynamic(active_degree, sh_view, dirs,
+                              max_deg=int(np.sqrt(shs.shape[-2])) - 1)
     return jnp.maximum(rgb + 0.5, 0.0)

@@ -5,11 +5,17 @@ PlenOctree constants) and the CUDA ``computeColorFromSH``
 (``forward.cu:20-71``).  Pure jnp: the backward pass (``backward.cu:20-139``
 in the reference) comes from autodiff.
 
-The degree is a static Python int — each active degree compiles its own
-XLA program, mirroring how the CUDA kernel branches on ``deg`` uniformly.
+``eval_sh`` takes a static Python degree (one XLA program per degree, as
+the CUDA kernel branches uniformly on ``deg``); ``eval_sh_dynamic`` takes
+a *traced* degree and band-masks the coefficients instead, so the
+training step compiles ONCE across the reference's oneupSHdegree schedule
+(train.py:324-325) — higher bands contribute (and receive gradient)
+exactly zero until activated, identical math to the static program.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -94,6 +100,16 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
                               + C4[7] * xz * (xx - 3 * yy) * sh[..., 23]
                               + C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)) * sh[..., 24])
     return result
+
+
+def eval_sh_dynamic(deg, sh: jnp.ndarray, dirs: jnp.ndarray,
+                    max_deg: int = 3) -> jnp.ndarray:
+    """eval_sh with a traced degree: coefficients of bands above ``deg``
+    are masked to zero before a full max_deg evaluation."""
+    coeff = (max_deg + 1) ** 2
+    bands = jnp.asarray(np.floor(np.sqrt(np.arange(coeff))).astype(np.int32))
+    mask = (bands <= deg).astype(sh.dtype)
+    return eval_sh(max_deg, sh[..., :coeff] * mask, dirs)
 
 
 def RGB2SH(rgb):

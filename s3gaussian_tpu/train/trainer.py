@@ -210,13 +210,16 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
     return new_state, aux
 
 
+# active_sh_degree is NOT static: the SH evaluation band-masks on a traced
+# degree (ops/sh.py:eval_sh_dynamic), so the oneupSHdegree schedule
+# (reference train.py:324-325) does not trigger 4 recompiles per stage.
 train_step = functools.partial(jax.jit, static_argnames=(
-    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
+    "stage", "hp", "opt", "pipe", "cfg",
     "spatial_lr_scale", "use_custom_vjp"))(_train_step_impl)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "stage", "active_sh_degree", "hp", "opt", "pipe", "cfg",
+    "stage", "hp", "opt", "pipe", "cfg",
     "spatial_lr_scale", "use_custom_vjp"))
 def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
                      active_sh_degree: int, hp: ModelHiddenParams,

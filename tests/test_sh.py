@@ -55,3 +55,38 @@ def test_dc_only():
     sh[:, :, 0] = 1.0
     out = np.asarray(eval_sh(0, jnp.asarray(sh), jnp.zeros((4, 3))))
     np.testing.assert_allclose(out, 0.28209479177387814, rtol=1e-6)
+
+
+def test_eval_sh_dynamic_matches_static():
+    """Traced-degree band masking == the degree-specialized program."""
+    import jax
+    import jax.numpy as jnp
+    from s3gaussian_tpu.ops.sh import eval_sh, eval_sh_dynamic
+
+    rng = np.random.default_rng(0)
+    sh = jnp.asarray(rng.normal(size=(50, 3, 16)), jnp.float32)
+    dirs = rng.normal(size=(50, 3))
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+    dirs = jnp.asarray(dirs, jnp.float32)
+    f = jax.jit(lambda d: eval_sh_dynamic(d, sh, dirs, max_deg=3))
+    for deg in range(4):
+        want = eval_sh(deg, sh[..., :(deg + 1) ** 2], dirs)
+        np.testing.assert_allclose(np.asarray(f(jnp.int32(deg))),
+                                   np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_eval_sh_dynamic_grads_masked():
+    """Inactive bands receive exactly zero gradient (same as the static
+    program that never touches them)."""
+    import jax
+    import jax.numpy as jnp
+    from s3gaussian_tpu.ops.sh import eval_sh_dynamic
+
+    rng = np.random.default_rng(1)
+    sh = jnp.asarray(rng.normal(size=(10, 3, 16)), jnp.float32)
+    dirs = jnp.asarray([[0.0, 0.0, 1.0]] * 10, jnp.float32)
+    g = jax.grad(lambda s: float(0) + jnp.sum(
+        eval_sh_dynamic(jnp.int32(1), s, dirs, 3)))(sh)
+    g = np.asarray(g)
+    assert np.abs(g[..., :4]).sum() > 0      # active bands flow
+    np.testing.assert_array_equal(g[..., 4:], 0.0)  # inactive: exact zero
