@@ -193,6 +193,10 @@ class ModelHiddenParams:
     grid_pe: int = 0
     static_mlp: bool = False
     apply_rotation: bool = False
+    # TPU-only: run the hexplane gathers/products in bfloat16 (master grid
+    # params stay f32; the gradient scatter-adds — the single most expensive
+    # part of the train step — run at half bandwidth).  No reference analog.
+    grid_compute_bf16: bool = True
 
     _shorthand = ()
     __hash__ = object.__hash__
@@ -220,6 +224,12 @@ class RasterConfig:
     cull_before_deform: bool = False
     cull_margin_px: float = 32.0
     use_pallas: Optional[bool] = None  # None = auto (pallas on TPU backend)
+    # pack color/opacity sort payloads (fwd) and per-pair gradient rows
+    # (bwd unsort) as bfloat16 pairs in single u32 rows — ~20% fewer bytes
+    # through both multi-M sorts.  None = auto (on when on the TPU backend,
+    # where the parity budget is checked end-to-end; off for the CPU/jnp
+    # oracle paths so finite-difference tests stay exact).
+    sort_bf16: Optional[bool] = None
 
     __hash__ = object.__hash__
 

@@ -120,7 +120,9 @@ def apply_deformation(params: Dict[str, Any], hp: ModelHiddenParams,
     """forward_dynamic (deformation.py:108-166) on raw (pre-activation)
     attributes; t is [N,1] in [0,1]."""
     n_scales = len(hp.multires)
-    h = hx.query_hexplane(params["grid"], xyz, t, aabb, n_scales)
+    h = hx.query_hexplane(
+        params["grid"], xyz, t, aabb, n_scales,
+        compute_dtype=jnp.bfloat16 if hp.grid_compute_bf16 else None)
     mlp = params["mlp"]
     fo = mlp["feature_out"]
     h = _linear(fo[0], h)

@@ -68,11 +68,17 @@ def normalize_aabb(pts: jnp.ndarray, aabb: jnp.ndarray) -> jnp.ndarray:
 
 def query_hexplane(params: Dict[str, jnp.ndarray], pts: jnp.ndarray,
                    t: jnp.ndarray, aabb: jnp.ndarray,
-                   n_scales: int) -> jnp.ndarray:
+                   n_scales: int, compute_dtype=None) -> jnp.ndarray:
     """pts [N,3] world, t [N,1] in [0,1] -> features [N, out_dim*n_scales].
 
     Per scale: product over the 6 plane samples; concat over scales
     (interpolate_ms_features, hexplane.py:73-106).
+
+    ``compute_dtype`` (e.g. bfloat16) casts the plane VALUES before the
+    gathers — coordinates and interpolation weights stay f32 — so the
+    forward row-gathers and, crucially, the backward scatter-adds into the
+    grids move half the bytes.  Master params stay f32 (the cast's VJP
+    returns f32 cotangents).
     """
     x = normalize_aabb(pts, aabb)
     p4 = jnp.concatenate([x, t], axis=-1)  # [N,4]
@@ -81,9 +87,12 @@ def query_hexplane(params: Dict[str, jnp.ndarray], pts: jnp.ndarray,
         acc = None
         for i, comb in enumerate(COO_COMBS):
             coords = p4[:, list(comb)]
-            v = grid_sample_2d(params[f"scale{s}_plane{i}"], coords)
+            plane = params[f"scale{s}_plane{i}"]
+            if compute_dtype is not None:
+                plane = plane.astype(compute_dtype)
+            v = grid_sample_2d(plane, coords)
             acc = v if acc is None else acc * v
-        feats.append(acc)
+        feats.append(acc.astype(jnp.float32))
     return jnp.concatenate(feats, axis=-1)
 
 

@@ -99,13 +99,21 @@ def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     visible = proj.visible
     n_visible = jnp.sum(visible.astype(jnp.int32))
 
-    # 1. stable visible-first compaction
-    compact_key = jnp.where(visible, jnp.uint32(0), jnp.uint32(1))
-    _, order = jax.lax.sort(
-        (compact_key, jnp.arange(n_pool, dtype=jnp.int32)), num_keys=1)
-    sel = order[:nr]
-    sel_visible = visible[sel] & (jnp.arange(nr) < n_visible)
-    overflow_visible = jnp.maximum(n_visible - nr, 0)
+    # 1. stable visible-first compaction.  When every pool row fits the
+    # render budget the compaction is the identity permutation — skip the
+    # pool-sized sort entirely (the invalid-pair masking below already
+    # drops non-visible slots).
+    if nr >= n_pool:
+        sel = jnp.arange(n_pool, dtype=jnp.int32)
+        sel_visible = visible
+        overflow_visible = jnp.zeros((), jnp.int32)
+    else:
+        compact_key = jnp.where(visible, jnp.uint32(0), jnp.uint32(1))
+        _, order = jax.lax.sort(
+            (compact_key, jnp.arange(n_pool, dtype=jnp.int32)), num_keys=1)
+        sel = order[:nr]
+        sel_visible = visible[sel] & (jnp.arange(nr) < n_visible)
+        overflow_visible = jnp.maximum(n_visible - nr, 0)
 
     # 2. bounded pair expansion on the render set
     rect = proj.tiles_rect[sel]          # [NR,4] x0,y0,x1,y1

@@ -68,6 +68,30 @@ def _use_pallas(cfg: RasterConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_pack(cfg: RasterConfig) -> bool:
+    if cfg.sort_bf16 is not None:
+        return cfg.sort_bf16
+    return jax.default_backend() == "tpu"
+
+
+def _pack2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Two f32 rows -> one u32 row of packed bfloat16 pairs."""
+    ab = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)], axis=-1)
+    return jax.lax.bitcast_convert_type(ab, jnp.uint32)
+
+
+def _unpack2(u: jnp.ndarray):
+    """Inverse of _pack2: one u32 row -> two f32 rows."""
+    ab = jax.lax.bitcast_convert_type(u, jnp.bfloat16)
+    return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
+
+
+# rows precise enough to stay f32 through the sort (pixel positions, conic,
+# depth); color + opacity ride as packed bf16 pairs when pack_bf16
+_F32_SORT_ROWS = (comp.FX, comp.FY, comp.FCA, comp.FCB, comp.FCC, comp.FD)
+_PACKED_SORT_ROWS = ((comp.FOP, comp.FR), (comp.FG, comp.FB))
+
+
 def _const_rows(bp: int, dtype=jnp.float32) -> jnp.ndarray:
     """Rows FONE.. of the pair stream: a ones channel + zero padding."""
     return jnp.concatenate(
@@ -78,7 +102,8 @@ def _const_rows(bp: int, dtype=jnp.float32) -> jnp.ndarray:
 @functools.lru_cache(maxsize=None)
 def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                     chunk: int, max_chunks: int, nr: int, rect_cap: int,
-                    bp: int, use_pallas: bool, use_custom_vjp: bool = True):
+                    bp: int, use_pallas: bool, use_custom_vjp: bool = True,
+                    pack_bf16: bool = False):
     """Build the sort+composite core for a static configuration.
 
     The core maps (feat_pool [16,N], pair keys, sel, visible) to
@@ -110,10 +135,24 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                                                 tile_y, chunk, max_chunks)
 
     def _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel):
-        """One kv-sort: [tile|depth] keys carrying (slot, 10 feature rows)."""
+        """One kv-sort: [tile|depth] keys carrying (slot, feature rows).
+
+        With pack_bf16, color+opacity travel as two u32 rows of bf16 pairs
+        (packed BEFORE the rect_cap expansion, so the repeat shrinks too)
+        and are unpacked into the f32 stream after the sort — the Pallas
+        kernels see the same [16, bp] f32 layout either way."""
         slot = jnp.arange(m, dtype=jnp.int32)
-        exp = jnp.repeat(feat_pool[:N_DATA_ROWS][:, sel], rect_cap, axis=1)
-        rows = tuple(exp[i] for i in range(N_DATA_ROWS))
+        # sel is the identity when the render budget covers the pool
+        # (make_pair_keys skips compaction) — skip the gather then
+        data = (feat_pool[:N_DATA_ROWS] if nr >= feat_pool.shape[1]
+                else feat_pool[:N_DATA_ROWS][:, sel])
+        if pack_bf16:
+            base = tuple(data[i] for i in _F32_SORT_ROWS) + tuple(
+                _pack2(data[a], data[b]) for a, b in _PACKED_SORT_ROWS)
+            rows = tuple(jnp.repeat(r, rect_cap) for r in base)
+        else:
+            exp = jnp.repeat(data, rect_cap, axis=1)
+            rows = tuple(exp[i] for i in range(N_DATA_ROWS))
         if two_key:
             out = jax.lax.sort((tile_u32, depth_u32, slot) + rows, num_keys=2)
             sorted_tile, sorted_slot, srows = out[0], out[2], out[3:]
@@ -121,8 +160,16 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             out = jax.lax.sort((keys, slot) + rows, num_keys=1)
             sorted_tile = out[0] >> jnp.uint32(DEPTH_BITS)
             sorted_slot, srows = out[1], out[2:]
+        if pack_bf16:
+            by_idx = {i: srows[k][:bp] for k, i in enumerate(_F32_SORT_ROWS)}
+            for k, (a, b) in enumerate(_PACKED_SORT_ROWS):
+                by_idx[a], by_idx[b] = _unpack2(
+                    srows[len(_F32_SORT_ROWS) + k][:bp])
+            data_rows = [by_idx[i] for i in range(N_DATA_ROWS)]
+        else:
+            data_rows = [r[:bp] for r in srows]
         stream = jnp.concatenate(
-            [jnp.stack([r[:bp] for r in srows], 0), _const_rows(bp)], 0)
+            [jnp.stack(data_rows, 0), _const_rows(bp)], 0)
         tile_starts, n_pairs, overflow_pairs = tile_ranges(
             sorted_tile, n_tiles, bp)
         return stream, sorted_slot, tile_starts, n_pairs, overflow_pairs
@@ -137,7 +184,9 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             else:
                 s = jax.lax.sort((keys, slot), num_keys=1)
                 sorted_tile, sorted_slot = s[0] >> jnp.uint32(DEPTH_BITS), s[1]
-            exp = jnp.repeat(feat_pool[:, sel], rect_cap, axis=1)
+            data = (feat_pool if nr >= feat_pool.shape[1]
+                    else feat_pool[:, sel])
+            exp = jnp.repeat(data, rect_cap, axis=1)
             stream = exp[:, sorted_slot[:bp]]
             tile_starts, n_pairs, overflow_pairs = tile_ranges(
                 sorted_tile, n_tiles, bp)
@@ -172,18 +221,36 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             pair_grads = jnp.pad(pair_grads, ((0, 0), (0, m - bp)))
         # un-sort by emission slot (one payload sort — the mirror of the
         # forward sort), then per-Gaussian sums are a contiguous rect-axis
-        # reduction: slot = render_slot * rect_cap + r
-        rows = tuple(pair_grads[i] for i in range(N_DATA_ROWS))
-        s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
-        d_slot = jnp.stack(s[1:], 0)                      # [10, M] slot order
+        # reduction: slot = render_slot * rect_cap + r.  With pack_bf16 the
+        # 10 per-pair gradient rows travel as 5 u32 rows of bf16 pairs
+        # (per-pair grads get 8-bit mantissas; the rect_cap reduction and
+        # everything downstream stay f32).
+        if pack_bf16:
+            rows = tuple(_pack2(pair_grads[i], pair_grads[i + 1])
+                         for i in range(0, N_DATA_ROWS, 2))
+            s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
+            unpacked = []
+            for u in s[1:]:
+                a, b = _unpack2(u)
+                unpacked += [a, b]
+            d_slot = jnp.stack(unpacked, 0)               # [10, M] slot order
+        else:
+            rows = tuple(pair_grads[i] for i in range(N_DATA_ROWS))
+            s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
+            d_slot = jnp.stack(s[1:], 0)                  # [10, M] slot order
         d_compact = d_slot.reshape(N_DATA_ROWS, nr, rect_cap).sum(-1)
         # expand render-set grads back to the pool by rank (gather, not
-        # scatter: the compaction is stable so sel is increasing)
+        # scatter: the compaction is stable so sel is increasing).  When the
+        # render budget covers the whole pool, make_pair_keys skips the
+        # compaction (sel = arange), so render slot j IS pool row j.
         n_pool = visible.shape[0]
-        rank = jnp.cumsum(visible.astype(jnp.int32)) - 1
-        take = jnp.clip(rank, 0, nr - 1)
-        d_data = jnp.where((visible & (rank < nr))[None, :],
-                           d_compact[:, take], 0.0)       # [10, N]
+        if nr >= n_pool:
+            d_data = jnp.where(visible[None, :], d_compact, 0.0)  # [10, N]
+        else:
+            rank = jnp.cumsum(visible.astype(jnp.int32)) - 1
+            take = jnp.clip(rank, 0, nr - 1)
+            d_data = jnp.where((visible & (rank < nr))[None, :],
+                               d_compact[:, take], 0.0)       # [10, N]
         d_pool = jnp.concatenate(
             [d_data, jnp.zeros((comp.PAIR_FEAT_DIM - N_DATA_ROWS, n_pool))], 0)
         f0 = jax.dtypes.float0
@@ -248,7 +315,7 @@ def rasterize(
     max_chunks = max(1, -(-min(m, cfg.max_pairs_per_tile) // cfg.chunk))
     core = _make_composite(grid_x, grid_y, cfg.tile_x, cfg.tile_y, cfg.chunk,
                            max_chunks, nr, cfg.rect_cap, bp, _use_pallas(cfg),
-                           use_custom_vjp)
+                           use_custom_vjp, _use_pack(cfg))
     out, tile_starts, n_pairs, overflow_pairs = core(
         feat_pool, pk.keys, pk.tile_u32, pk.depth_u32, pk.sel, proj.visible)
 
