@@ -32,6 +32,7 @@ import jax.numpy as jnp
 
 from s3gaussian_tpu.config import ModelHiddenParams
 from s3gaussian_tpu.models import hexplane as hx
+from s3gaussian_tpu.ops.gridsample import grid_sample_3d
 from s3gaussian_tpu.ops.transforms import quat_multiply
 
 
@@ -98,7 +99,16 @@ def init_deformation(key: jax.Array, hp: ModelHiddenParams
         mlp["dino"] = {"l1": _linear_init(k1, w, 64),
                        "l2": _linear_init(k2, 64, 64),
                        "l3": _linear_init(k3, 64, 3)}
-    return {"grid": grid, "mlp": mlp}
+    if hp.static_mlp:
+        # ReLU->Linear(W,W)->ReLU->Linear(W,1) (deformation.py:33) == _head
+        mlp["static_mlp"] = _head_init(keys[9], w, 1)
+    out = {"grid": grid, "mlp": mlp}
+    if hp.empty_voxel:
+        # DenseGrid(channels=1, world_size=[64,64,64]) init to ones
+        # (grid.py:16,29); lands in the "deformation" LR group like the
+        # reference's non-"grid" parameters (deformation.py:169-177)
+        out["empty_voxel"] = jnp.ones((1, 64, 64, 64), jnp.float32)
+    return out
 
 
 class DeformOut(NamedTuple):
@@ -118,7 +128,8 @@ def apply_deformation(params: Dict[str, Any], hp: ModelHiddenParams,
                       opacity: jnp.ndarray, shs: jnp.ndarray,
                       t: jnp.ndarray) -> DeformOut:
     """forward_dynamic (deformation.py:108-166) on raw (pre-activation)
-    attributes; t is [N,1] in [0,1]."""
+    attributes; t is [N,1] in [0,1], or a scalar (uniform time — engages
+    the hexplane's scalar-row fast path)."""
     n_scales = len(hp.multires)
     h = hx.query_hexplane(
         params["grid"], xyz, t, aabb, n_scales,
@@ -129,25 +140,44 @@ def apply_deformation(params: Dict[str, Any], hp: ModelHiddenParams,
     for layer in fo[1:]:
         h = _linear(layer, jax.nn.relu(h))
 
+    # static/dynamic mask (deformation.py:112-117): a learned per-point
+    # gate multiplying the *undeformed* attribute before adding the delta
+    # (attr*mask + d_attr); identity 1 unless static_mlp / empty_voxel.
+    if hp.static_mlp:
+        mask = _head(mlp["static_mlp"], h)                       # [N,1]
+    elif hp.empty_voxel:
+        # DenseGrid query: coords normalized by the aabb ([max; min]
+        # layout, see hexplane.normalize_aabb) and FLIPPED to (z,y,x)
+        # like the reference's .flip(-1) (grid.py:37)
+        norm = (xyz - aabb[1]) / (aabb[0] - aabb[1]) * 2.0 - 1.0
+        mask = grid_sample_3d(params["empty_voxel"], norm[:, ::-1])
+    else:
+        mask = None
+
+    def gated(attr):
+        return attr if mask is None else attr * mask
+
     dx = feat = dshs = None
     out_xyz, out_scales, out_rot, out_op, out_shs = (xyz, scales, rotations,
                                                      opacity, shs)
     if not hp.no_dx:
         dx = _head(mlp["pos"], h)
-        out_xyz = xyz + dx
+        out_xyz = gated(xyz) + dx
     if not hp.no_ds:
-        out_scales = scales + _head(mlp["scales"], h)
+        out_scales = gated(scales) + _head(mlp["scales"], h)
     if not hp.no_dr:
+        # rotations are never masked (deformation.py:135-144)
         dr = _head(mlp["rotations"], h)
         if hp.apply_rotation:
             out_rot = quat_multiply(rotations, dr)
         else:
             out_rot = rotations + dr
     if not hp.no_do:
-        out_op = opacity + _head(mlp["opacity"], h)
+        out_op = gated(opacity) + _head(mlp["opacity"], h)
     if not hp.no_dshs:
         dshs = _head(mlp["shs"], h).reshape(shs.shape[0], 16, 3)
-        out_shs = shs + dshs
+        shs_gated = shs if mask is None else shs * mask[:, :, None]
+        out_shs = shs_gated + dshs
     if hp.feat_head:
         d = mlp["dino"]
         x = _linear(d["l1"], h)

@@ -24,7 +24,7 @@ from typing import Dict, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
-from s3gaussian_tpu.ops.gridsample import grid_sample_2d
+from s3gaussian_tpu.ops.gridsample import grid_sample_2d, sample_time_plane
 
 COO_COMBS: Tuple[Tuple[int, int], ...] = tuple(
     itertools.combinations(range(4), 2))
@@ -79,18 +79,32 @@ def query_hexplane(params: Dict[str, jnp.ndarray], pts: jnp.ndarray,
     forward row-gathers and, crucially, the backward scatter-adds into the
     grids move half the bytes.  Master params stay f32 (the cast's VJP
     returns f32 cotangents).
+
+    ``t`` may be a SCALAR (the per-camera time, uniform over points —
+    what training/eval always does): the spatiotemporal planes then take
+    the scalar-row fast path (ops/gridsample.py:sample_time_plane), which
+    folds the t-lerp before the gather and computes the grid gradient
+    with a one-hot matmul instead of a scatter-add.
     """
+    t_scalar = jnp.ndim(t) == 0
     x = normalize_aabb(pts, aabb)
-    p4 = jnp.concatenate([x, t], axis=-1)  # [N,4]
+    if t_scalar:
+        tcol = None
+    else:
+        tcol = t
     feats = []
     for s in range(n_scales):
         acc = None
         for i, comb in enumerate(COO_COMBS):
-            coords = p4[:, list(comb)]
             plane = params[f"scale{s}_plane{i}"]
             if compute_dtype is not None:
                 plane = plane.astype(compute_dtype)
-            v = grid_sample_2d(plane, coords)
+            if 3 in comb and t_scalar:
+                v = sample_time_plane(plane, x[:, comb[0]], t)
+            else:
+                cols = [x[:, [c]] if c < 3 else tcol for c in comb]
+                coords = jnp.concatenate(cols, axis=-1)
+                v = grid_sample_2d(plane, coords)
             acc = v if acc is None else acc * v
         feats.append(acc.astype(jnp.float32))
     return jnp.concatenate(feats, axis=-1)

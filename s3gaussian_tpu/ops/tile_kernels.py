@@ -255,6 +255,10 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
     def _():
         dma_in(0, b0).start()
 
+    def wdma(slot, b):
+        return pltpu.make_async_copy(
+            gbuf.at[slot], grads_hbm.at[:, pl.ds(b * blk, blk)], wsem.at[slot])
+
     def body(state):
         b, t_col, prefix = state
         slot = (b - b0) % 2
@@ -302,18 +306,26 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                                        preferred_element_type=jnp.float32,
                                precision=jax.lax.Precision.HIGHEST)
 
-        gbuf[:, :] = jnp.zeros((PAIR_FEAT_DIM, blk), jnp.float32)
-        gbuf[FX:FX + 1, :] = psum(d_power * (-ca * dx - cb * dy))
-        gbuf[FY:FY + 1, :] = psum(d_power * (-cc * dy - cb * dx))
-        gbuf[FCA:FCA + 1, :] = psum(d_power * (-0.5 * dx * dx))
-        gbuf[FCB:FCB + 1, :] = psum(d_power * (-dx * dy))
-        gbuf[FCC:FCC + 1, :] = psum(d_power * (-0.5 * dy * dy))
-        gbuf[FOP:FOP + 1, :] = psum(G * d_alpha)
-        gbuf[FR:FD + 1, :] = d_colors[0:4, :]
+        # write double-buffering: before reusing this gbuf slot, drain the
+        # write issued from it two blocks ago (the write itself is NOT
+        # waited on below — it overlaps the next block's compute)
+        @pl.when(b - b0 >= 2)
+        def _():
+            wdma(slot, b - 2).wait()
+
+        gbuf[slot, :, :] = jnp.zeros((PAIR_FEAT_DIM, blk), jnp.float32)
+        gbuf[slot, FX:FX + 1, :] = psum(d_power * (-ca * dx - cb * dy))
+        gbuf[slot, FY:FY + 1, :] = psum(d_power * (-cc * dy - cb * dx))
+        gbuf[slot, FCA:FCA + 1, :] = psum(d_power * (-0.5 * dx * dx))
+        gbuf[slot, FCB:FCB + 1, :] = psum(d_power * (-dx * dy))
+        gbuf[slot, FCC:FCC + 1, :] = psum(d_power * (-0.5 * dy * dy))
+        gbuf[slot, FOP:FOP + 1, :] = psum(G * d_alpha)
+        gbuf[slot, FR:FD + 1, :] = d_colors[0:4, :]
 
         # Only a tile's first/last blocks can be shared with the previous/
         # next tile; interior blocks are exclusively owned and skip the
-        # read-modify-write (grid is sequential, so boundary RMW is
+        # read-modify-write (grid is sequential AND each tile drains its
+        # outstanding writes before returning, so boundary RMW is
         # race-free).
         @pl.when((b == b0) | (b == b1 - 1))
         def _():
@@ -321,12 +333,9 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                 grads_hbm.at[:, pl.ds(b * blk, blk)], gprev, rsem)
             rdma.start()
             rdma.wait()
-            gbuf[:, :] = gbuf[:, :] + gprev[:, :]
+            gbuf[slot, :, :] = gbuf[slot, :, :] + gprev[:, :]
 
-        wdma = pltpu.make_async_copy(gbuf, grads_hbm.at[:, pl.ds(b * blk, blk)],
-                                     wsem)
-        wdma.start()
-        wdma.wait()
+        wdma(slot, b).start()
 
         t_col = cum_incl[:, blk - 1:blk]
         return b + 1, t_col, prefix
@@ -342,6 +351,16 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
     @pl.when(b_final < b1)
     def _():
         dma_in((b_final - b0) % 2, b_final).wait()
+
+    # drain the (up to two) outstanding gradient writes before the next
+    # tile — its first block may alias this tile's last block in HBM
+    @pl.when(b_final - b0 >= 1)
+    def _():
+        wdma((b_final - 1 - b0) % 2, b_final - 1).wait()
+
+    @pl.when(b_final - b0 >= 2)
+    def _():
+        wdma((b_final - 2 - b0) % 2, b_final - 2).wait()
 
 
 def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
@@ -379,11 +398,11 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((PAIR_FEAT_DIM, blk), jnp.float32),     # grad buf
+            pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # grad buf x2
             pltpu.VMEM((PAIR_FEAT_DIM, blk), jnp.float32),     # rmw buf
             pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # chunk buf
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),                     # write sems
             pltpu.SemaphoreType.DMA,
         ],
     )

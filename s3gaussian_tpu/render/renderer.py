@@ -102,7 +102,9 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
         xyz_f, scales_f, rot_f, op_f, shs_f = (xyz, scaling_w, rotation_w,
                                                opacity_w, shs)
     elif "fine" in stage:
-        t = jnp.broadcast_to(camera.time.reshape(1, 1), (xyz.shape[0], 1))
+        # scalar t: the hexplane takes the uniform-time fast path
+        # (matmul grid gradients for the spatiotemporal planes)
+        t = camera.time.reshape(())
         out = apply_deformation(deform_params, hp, aabb, xyz, scaling_w,
                                 rotation_w, opacity_w, shs, t)
         xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,

@@ -83,3 +83,39 @@ def test_gradients_reach_grid_and_mlp():
     gsum = jax.tree_util.tree_reduce(
         lambda a, x: a + float(jnp.abs(x).sum()), g, 0.0)
     assert np.isfinite(gsum) and gsum > 0
+
+
+def test_empty_voxel_ones_grid_is_identity_mask():
+    """DenseGrid inits to ones (reference grid.py:29), so a fresh
+    empty_voxel run must match the default (mask==1) path exactly."""
+    hp0 = small_hp()
+    hp1 = small_hp(empty_voxel=True)
+    _, out0, _ = run(hp0)
+    _, out1, _ = run(hp1)
+    np.testing.assert_allclose(np.asarray(out1.xyz), np.asarray(out0.xyz),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out1.shs), np.asarray(out0.shs),
+                               atol=1e-6)
+
+
+def test_static_mlp_mask_gates_attributes():
+    """static_mlp replaces the identity mask with a learned gate
+    (deformation.py:112-117): attr*mask + d_attr."""
+    hp = small_hp(static_mlp=True)
+    params, out, (xyz, *_rest) = run(hp)
+    assert "static_mlp" in params["mlp"]
+    # mask != 1 generically, so out.xyz - dx != xyz
+    assert not np.allclose(np.asarray(out.xyz - out.dx), np.asarray(xyz))
+    # gradient flows into the mask head
+    import jax
+    aabb = jnp.asarray([[3.0] * 3, [-3.0] * 3])
+
+    def loss(p):
+        o = apply_deformation(p, hp, aabb, xyz, _rest[0], _rest[1],
+                              _rest[2], _rest[3], jnp.full((12, 1), 0.4))
+        return jnp.sum(o.xyz ** 2)
+
+    g = jax.grad(loss)(params)
+    gs = sum(float(jnp.abs(v).sum())
+             for v in jax.tree_util.tree_leaves(g["mlp"]["static_mlp"]))
+    assert gs > 0

@@ -70,3 +70,34 @@ def test_grid_gradients_flow():
     g = jax.grad(loss)(p)
     total = sum(float(jnp.abs(v).sum()) for v in g.values())
     assert np.isfinite(total) and total > 0
+
+
+def test_scalar_time_fast_path_matches_broadcast():
+    """A scalar t must take the uniform-time fast path
+    (ops/gridsample.py:sample_time_plane) and agree with the generic
+    [N,1] bilinear path — values AND gradients (the fast path's grid
+    gradient is a one-hot matmul instead of a scatter-add)."""
+    p = small_params()
+    aabb = jnp.asarray([[2.0, 2.0, 2.0], [-2.0, -2.0, -2.0]])
+    rng = np.random.default_rng(3)
+    pts = jnp.asarray(rng.uniform(-1.8, 1.8, (64, 3)).astype(np.float32))
+    for tval in (0.0, 0.37, 0.5, 1.0):  # interior, cell-boundary, edges
+        t_col = jnp.full((64, 1), tval)
+        t_s = jnp.asarray(tval, jnp.float32)
+        ref = hx.query_hexplane(p, pts, t_col, aabb, 2)
+        fast = hx.query_hexplane(p, pts, t_s, aabb, 2)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+        def loss(params, xyz, t):
+            return jnp.sum(jnp.sin(hx.query_hexplane(params, xyz, t, aabb, 2)))
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(p, pts, t_col)
+        g_fast = jax.grad(loss, argnums=(0, 1))(p, pts, t_s)
+        for k in p:
+            np.testing.assert_allclose(np.asarray(g_fast[0][k]),
+                                       np.asarray(g_ref[0][k]),
+                                       rtol=1e-4, atol=1e-5, err_msg=k)
+        np.testing.assert_allclose(np.asarray(g_fast[1]),
+                                   np.asarray(g_ref[1]),
+                                   rtol=1e-4, atol=1e-5)
