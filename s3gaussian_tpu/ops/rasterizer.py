@@ -7,18 +7,21 @@ Dataflow (one jittable program; compare the CUDA call stack at
 ``rasterizer_impl.cu:198-339``):
 
   project (jnp, autodiff) → pair-key emission (static shapes) →
-  ONE kv-sort carrying the 10 feature rows as payloads →
+  ONE (key, slot) kv-sort + ONE gather of the 10 feature rows →
   tile compositor (Pallas custom_vjp on TPU; jnp elsewhere) → unpack.
 
-The payload-carrying sort is the load-bearing TPU design decision: on TPU
-a gather costs ~25 ns *per index* regardless of row width, so building the
-sorted pair stream as sort-index-then-gather pays twice (index sort, then
-an M-index gather).  ``lax.sort`` streaming the feature rows through the
-same comparator network is ~45% cheaper at M = 4M, and the backward uses
-the mirror trick: the per-pair gradients are sorted by their flat emission
+The data-movement design is measured, not assumed
+(scripts/microbench_sort.py at M = 3.3M on a v5e): the forward sorts only
+(key, slot) and gathers the feature rows once at the sorted positions —
+cheaper than streaming the rows through the comparator network, and the
+rect_cap pre-expansion of every row disappears.  The backward uses the
+mirror trick: the per-pair gradients are sorted by their flat emission
 slot (slot = render_slot·rect_cap + r, carried through the forward sort),
-after which per-Gaussian sums are a contiguous rect-axis reshape-reduction
-— no scatter (the CUDA backward's atomicAdd analog) and no second gather.
+riding as bf16-packed payloads — there a payload sort beats
+sort-then-gather because the rows are freshly produced per pair and would
+otherwise pay both the sort and an M-index gather; per-Gaussian sums are
+then a contiguous rect-axis reshape-reduction — no scatter (the CUDA
+backward's atomicAdd analog).
 
 Only the compositor carries a hand-written VJP; every other gradient —
 EWA covariance, SH, projection, quaternion — is autodiff through jnp,
@@ -86,12 +89,6 @@ def _unpack2(u: jnp.ndarray):
     return ab[..., 0].astype(jnp.float32), ab[..., 1].astype(jnp.float32)
 
 
-# rows precise enough to stay f32 through the sort (pixel positions, conic,
-# depth); color + opacity ride as packed bf16 pairs when pack_bf16
-_F32_SORT_ROWS = (comp.FX, comp.FY, comp.FCA, comp.FCB, comp.FCC, comp.FD)
-_PACKED_SORT_ROWS = ((comp.FOP, comp.FR), (comp.FG, comp.FB))
-
-
 def _const_rows(bp: int, dtype=jnp.float32) -> jnp.ndarray:
     """Rows FONE.. of the pair stream: a ones channel + zero padding."""
     return jnp.concatenate(
@@ -135,41 +132,32 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                                                 tile_y, chunk, max_chunks)
 
     def _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel):
-        """One kv-sort: [tile|depth] keys carrying (slot, feature rows).
+        """One kv-sort of (key, slot), then ONE per-pair gather of the 10
+        feature rows at the sorted (and budget-truncated) positions.
 
-        With pack_bf16, color+opacity travel as two u32 rows of bf16 pairs
-        (packed BEFORE the rect_cap expansion, so the repeat shrinks too)
-        and are unpacked into the f32 stream after the sort — the Pallas
-        kernels see the same [16, bp] f32 layout either way."""
+        Measured on TPU at M = 3.3M (scripts/microbench_sort.py): carrying
+        the 8 payload rows through the comparator network costs more than
+        sorting (key, slot) alone and gathering the rows afterwards —
+        89 ms vs 111 ms raw — and the rect_cap pre-expansion (jnp.repeat of
+        every row to [_, M]) disappears entirely: the gather reads straight
+        from the [10, NR] render-set columns at only the bp surviving
+        positions.  Tie order is identical (lax.sort is stable), so the
+        stream is bit-equal to the payload-carrying variant."""
         slot = jnp.arange(m, dtype=jnp.int32)
+        if two_key:
+            out = jax.lax.sort((tile_u32, depth_u32, slot), num_keys=2)
+            sorted_tile, sorted_slot = out[0], out[2]
+        else:
+            out = jax.lax.sort((keys, slot), num_keys=1)
+            sorted_tile = out[0] >> jnp.uint32(DEPTH_BITS)
+            sorted_slot = out[1]
         # sel is the identity when the render budget covers the pool
         # (make_pair_keys skips compaction) — skip the gather then
         data = (feat_pool[:N_DATA_ROWS] if nr >= feat_pool.shape[1]
                 else feat_pool[:N_DATA_ROWS][:, sel])
-        if pack_bf16:
-            base = tuple(data[i] for i in _F32_SORT_ROWS) + tuple(
-                _pack2(data[a], data[b]) for a, b in _PACKED_SORT_ROWS)
-            rows = tuple(jnp.repeat(r, rect_cap) for r in base)
-        else:
-            exp = jnp.repeat(data, rect_cap, axis=1)
-            rows = tuple(exp[i] for i in range(N_DATA_ROWS))
-        if two_key:
-            out = jax.lax.sort((tile_u32, depth_u32, slot) + rows, num_keys=2)
-            sorted_tile, sorted_slot, srows = out[0], out[2], out[3:]
-        else:
-            out = jax.lax.sort((keys, slot) + rows, num_keys=1)
-            sorted_tile = out[0] >> jnp.uint32(DEPTH_BITS)
-            sorted_slot, srows = out[1], out[2:]
-        if pack_bf16:
-            by_idx = {i: srows[k][:bp] for k, i in enumerate(_F32_SORT_ROWS)}
-            for k, (a, b) in enumerate(_PACKED_SORT_ROWS):
-                by_idx[a], by_idx[b] = _unpack2(
-                    srows[len(_F32_SORT_ROWS) + k][:bp])
-            data_rows = [by_idx[i] for i in range(N_DATA_ROWS)]
-        else:
-            data_rows = [r[:bp] for r in srows]
-        stream = jnp.concatenate(
-            [jnp.stack(data_rows, 0), _const_rows(bp)], 0)
+        sorted_gid = sorted_slot[:bp] // rect_cap        # render-slot per pair
+        data_rows = data[:, sorted_gid]                  # [10, bp] one gather
+        stream = jnp.concatenate([data_rows, _const_rows(bp)], 0)
         tile_starts, n_pairs, overflow_pairs = tile_ranges(
             sorted_tile, n_tiles, bp)
         return stream, sorted_slot, tile_starts, n_pairs, overflow_pairs
