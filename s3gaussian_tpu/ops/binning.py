@@ -134,11 +134,14 @@ def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     dfull = jax.lax.bitcast_convert_type(
         proj.depth[sel].astype(jnp.float32), jnp.uint32)
 
+    # slot r -> rect offsets with the STATIC rect_w stride (a dynamic
+    # per-gaussian divisor would put a vector integer division on the VPU's
+    # critical path); slots past the gaussian's wc×hc live rect are masked
+    # invalid instead of packed out — the emitted pair set is identical.
     r = jnp.arange(rect_cap, dtype=jnp.int32)[None, :]        # [1, R]
-    wc_ = jnp.maximum(wc, 1)[:, None]
-    dx = r % wc_
-    dy = r // wc_
-    valid = (r < (wc * hc)[:, None]) & sel_visible[:, None]
+    dx = r % rect_w
+    dy = r // rect_w
+    valid = ((dx < wc[:, None]) & (dy < hc[:, None])) & sel_visible[:, None]
     tile = (y0c[:, None] + dy) * grid_x + (x0c[:, None] + dx)
 
     m = nr * rect_cap

@@ -226,6 +226,11 @@ def composite_fwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
 def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
                 grads_hbm, gbuf, gprev, chunkbuf, sems, wsem, rsem,
                 *, grid_x: int, tile_x: int, tile_y: int, blk: int):
+    """gprev is [2, 16, blk]: slot 0 holds the tile's FIRST boundary block,
+    slot 1 its LAST — both reads are issued at tile start so their HBM
+    latency overlaps the whole tile's compute instead of stalling the
+    boundary iterations (the previous tile's writes are already drained
+    before this kernel instance runs, so the reads are race-free)."""
     del ginit_hbm  # aliased to grads_hbm; zero-initialized by the caller
     t = pl.program_id(0)
     start = tile_starts[t]
@@ -251,9 +256,19 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
             feat_hbm.at[:, pl.ds(b * blk, blk)],
             chunkbuf.at[slot], sems.at[slot])
 
+    def rdma(slot, b):
+        return pltpu.make_async_copy(
+            grads_hbm.at[:, pl.ds(b * blk, blk)], gprev.at[slot],
+            rsem.at[slot])
+
     @pl.when(b1 > b0)
     def _():
         dma_in(0, b0).start()
+        rdma(0, b0).start()
+
+    @pl.when(b1 - 1 > b0)
+    def _():
+        rdma(1, b1 - 1).start()
 
     def wdma(slot, b):
         return pltpu.make_async_copy(
@@ -326,14 +341,17 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
         # next tile; interior blocks are exclusively owned and skip the
         # read-modify-write (grid is sequential AND each tile drains its
         # outstanding writes before returning, so boundary RMW is
-        # race-free).
-        @pl.when((b == b0) | (b == b1 - 1))
+        # race-free).  The boundary reads were issued at tile start; only
+        # the wait lands here.
+        @pl.when(b == b0)
         def _():
-            rdma = pltpu.make_async_copy(
-                grads_hbm.at[:, pl.ds(b * blk, blk)], gprev, rsem)
-            rdma.start()
-            rdma.wait()
-            gbuf[slot, :, :] = gbuf[slot, :, :] + gprev[:, :]
+            rdma(0, b0).wait()
+            gbuf[slot, :, :] = gbuf[slot, :, :] + gprev[0, :, :]
+
+        @pl.when((b == b1 - 1) & (b > b0))
+        def _():
+            rdma(1, b).wait()
+            gbuf[slot, :, :] = gbuf[slot, :, :] + gprev[1, :, :]
 
         wdma(slot, b).start()
 
@@ -347,10 +365,15 @@ def _bwd_kernel(tile_starts, feat_hbm, outt_ref, doutt_ref, ginit_hbm,
     init = (b0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
     b_final, _, _ = jax.lax.while_loop(cond, body, init)
 
-    # drain the prefetched-but-unconsumed DMA after an early exit
+    # drain the prefetched-but-unconsumed DMAs after an early exit: the
+    # next input block and the last-boundary-block RMW read
     @pl.when(b_final < b1)
     def _():
         dma_in((b_final - b0) % 2, b_final).wait()
+
+    @pl.when((b_final < b1) & (b1 - 1 > b0))
+    def _():
+        rdma(1, b1 - 1).wait()
 
     # drain the (up to two) outstanding gradient writes before the next
     # tile — its first block may alias this tile's last block in HBM
@@ -399,11 +422,11 @@ def composite_bwd_pallas(pair_feat: jnp.ndarray, tile_starts: jnp.ndarray,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # grad buf x2
-            pltpu.VMEM((PAIR_FEAT_DIM, blk), jnp.float32),     # rmw buf
+            pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # rmw bufs
             pltpu.VMEM((2, PAIR_FEAT_DIM, blk), jnp.float32),  # chunk buf
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),                     # write sems
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),                     # rmw read sems
         ],
     )
     grads = pl.pallas_call(
