@@ -230,6 +230,11 @@ class RasterConfig:
     # where the parity budget is checked end-to-end; off for the CPU/jnp
     # oracle paths so finite-difference tests stay exact).
     sort_bf16: Optional[bool] = None
+    # alpha-threshold tight tile rects (ops/project.py): emit pairs only
+    # for tiles where alpha can reach 1/255 — output-invariant (both this
+    # kernel and the CUDA kernel mask alpha < 1/255) but drops ~25-50% of
+    # pairs.  Off = the reference's circumscribed 3σ circle rect.
+    tight_rect: bool = True
 
     __hash__ = object.__hash__
 

@@ -90,6 +90,7 @@ def project_gaussians(
     mean2d_tap: Optional[jnp.ndarray] = None,
     alive: Optional[jnp.ndarray] = None,
     radius_margin: float = 0.0,
+    opacities: Optional[jnp.ndarray] = None,
 ) -> ProjectedGaussians:
     """Project Gaussians into screen space.
 
@@ -103,6 +104,24 @@ def project_gaussians(
       alive: optional [N] bool pool-liveness mask; dead slots are culled.
       radius_margin: extra pixels added to the tile-rect radius (used for
         conservative pre-deformation culling).
+      opacities: optional [N,1] or [N] ACTIVATED opacities enabling the
+        alpha-threshold tight rect (see below).
+
+    Tight rect: both this compositor and the CUDA kernel skip
+    contributions with alpha < 1/255 (``_block_alpha``;
+    ``forward.cu:346-354``), so any pixel where opac·exp(-q/2) cannot
+    reach 1/255 — q the conic quadratic — contributes EXACTLY zero.  The
+    tile rectangle therefore becomes the axis-aligned bbox of the cutoff
+    ellipse {q ≤ Q}, Q = 2·ln(255·opac): half-extents √(Q·cov2d_xx) /
+    √(Q·cov2d_yy).  For translucent splats this is much tighter than the
+    reference's circumscribed 3σ_max circle; for anisotropic ones it is
+    tighter per-axis; only for opaque near-isotropic splats is it up to
+    ~11% wider (Q ≤ 11.08 > 9) — there the reference's circle CROPS real
+    ≥1/255 contributions that this rect renders (closer to the uncropped
+    compositing integral).  Pairs dropped here are zero-contribution, so
+    the output equals brute-force compositing exactly.  ``radius`` itself stays the reference's
+    ceil(3·σ_max) (forward.cu:229-232) — it feeds max_radii2D
+    densification stats, not pair emission.
 
     Returns ProjectedGaussians with static shapes.
     """
@@ -169,18 +188,49 @@ def project_gaussians(
     lambda1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
 
-    # --- tile rectangle (auxiliary.h:46-56) ---
+    # --- tile rectangle (auxiliary.h:46-56; tight variant above) ---
     grid_x = (width + tile_x - 1) // tile_x
     grid_y = (height + tile_y - 1) // tile_y
     xy_ng = jax.lax.stop_gradient(xy)
     r_ng = jax.lax.stop_gradient(radius_f)
-    r_m = r_ng + radius_margin
-    x0 = jnp.clip(jnp.floor((xy_ng[..., 0] - r_m) / tile_x), 0, grid_x).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((xy_ng[..., 1] - r_m) / tile_y), 0, grid_y).astype(jnp.int32)
-    x1 = jnp.clip(jnp.floor((xy_ng[..., 0] + r_m + tile_x - 1) / tile_x), 0, grid_x).astype(jnp.int32)
-    y1 = jnp.clip(jnp.floor((xy_ng[..., 1] + r_m + tile_y - 1) / tile_y), 0, grid_y).astype(jnp.int32)
+    if opacities is None:
+        rx = ry = r_ng
+    else:
+        op = jax.lax.stop_gradient(opacities.reshape(-1))
+        # NO 3σ cap: between the 9-ellipse and this threshold alpha runs
+        # up to 0.011·opac, which the compositor renders — capping at 9
+        # would crop real contributions (the reference's circle does crop
+        # them; covering them fully only matches the brute-force compose
+        # more closely).  Q ≤ 2·ln(255) ≈ 11.08 since opac ≤ 1.
+        q_cut = jnp.maximum(2.0 * jnp.log(jnp.maximum(op, 1e-9) * 255.0), 0.0)
+        a_ng = jax.lax.stop_gradient(a)
+        c_ng = jax.lax.stop_gradient(c)
+        rx = jnp.ceil(jnp.sqrt(q_cut * jnp.maximum(a_ng, 0.0)))
+        ry = jnp.ceil(jnp.sqrt(q_cut * jnp.maximum(c_ng, 0.0)))
+    rx = rx + radius_margin
+    ry = ry + radius_margin
+    def tile_rect(hx, hy):
+        x0 = jnp.clip(jnp.floor((xy_ng[..., 0] - hx) / tile_x), 0, grid_x)
+        y0 = jnp.clip(jnp.floor((xy_ng[..., 1] - hy) / tile_y), 0, grid_y)
+        x1 = jnp.clip(jnp.floor((xy_ng[..., 0] + hx + tile_x - 1) / tile_x),
+                      0, grid_x)
+        y1 = jnp.clip(jnp.floor((xy_ng[..., 1] + hy + tile_y - 1) / tile_y),
+                      0, grid_y)
+        return (x0.astype(jnp.int32), y0.astype(jnp.int32),
+                x1.astype(jnp.int32), y1.astype(jnp.int32))
 
-    visible = (depth > 0.2) & (det > 0.0) & ((x1 - x0) * (y1 - y0) > 0)
+    x0, y0, x1, y1 = tile_rect(rx, ry)
+    # visibility keeps the reference's circle-rect predicate (it gates the
+    # max_radii2D densification stats, not just pair emission): a gaussian
+    # whose tight rect is empty but whose 3σ rect is on-screen stays
+    # "visible" with zero pairs, exactly like the CUDA path renders it
+    # with all-masked alphas
+    if opacities is None:
+        vx0, vy0, vx1, vy1 = x0, y0, x1, y1
+    else:
+        r_c = r_ng + radius_margin
+        vx0, vy0, vx1, vy1 = tile_rect(r_c, r_c)
+    visible = (depth > 0.2) & (det > 0.0) & ((vx1 - vx0) * (vy1 - vy0) > 0)
     if alive is not None:
         visible = visible & alive
 

@@ -280,7 +280,8 @@ def rasterize(
         means3d, cov3d, settings.viewmatrix, settings.projmatrix,
         settings.tanfovx, settings.tanfovy, w, h,
         tile_x=cfg.tile_x, tile_y=cfg.tile_y,
-        mean2d_tap=mean2d_tap, alive=alive)
+        mean2d_tap=mean2d_tap, alive=alive,
+        opacities=opacities if cfg.tight_rect else None)
 
     if colors_precomp is None:
         colors = sh_to_color(shs, means3d, settings.campos, settings.sh_degree)

@@ -78,10 +78,32 @@ def _tri_incl(c: int):
 
 
 def _cumsum_lane(x):
+    """Inclusive lane prefix via 128-wide triangular MXU contractions.
+
+    Blocked so the tri-matmul work stays LINEAR in the chunk width (a
+    single [C,C] triangle is quadratic: chunk 256 would double the MXU
+    cost per pair); cross-block carries are rank-1 broadcast adds.
+    (Mosaic supports only DEFAULT and HIGHEST dot precisions; DEFAULT's
+    single bf16 pass is too lossy for the log-space transmittance sums,
+    so the contractions stay HIGHEST.)"""
     c = x.shape[1]
-    return jax.lax.dot_general(x, _tri_incl(c), (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+    prec = jax.lax.Precision.HIGHEST
+    if c <= BLK:
+        return jax.lax.dot_general(x, _tri_incl(c), (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32,
+                                   precision=prec)
+    tri = _tri_incl(BLK)
+    parts = []
+    carry = None
+    for s in range(0, c, BLK):
+        blk_c = jax.lax.dot_general(
+            x[:, s:s + BLK], tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if carry is not None:
+            blk_c = blk_c + carry
+        carry = blk_c[:, BLK - 1:BLK]
+        parts.append(blk_c)
+    return jnp.concatenate(parts, axis=1)
 
 
 def _cumprod_lane(x):

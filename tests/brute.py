@@ -18,7 +18,11 @@ T_EPS = 1e-4
 
 
 def project_brute(means, cov3d, view, proj, tanfovx, tanfovy, w, h,
-                  tile_x=16, tile_y=16):
+                  tile_x=16, tile_y=16, opacity=None):
+    """opacity=None → the reference's circumscribed-circle tile rect
+    (auxiliary.h:46-56); opacity given → the alpha-threshold tight rect
+    (bbox of {q ≤ 2·ln(255·op)}), recomputed here independently of
+    ops/project.py."""
     n = means.shape[0]
     focal_x = w / (2 * tanfovx)
     focal_y = h / (2 * tanfovy)
@@ -56,11 +60,29 @@ def project_brute(means, cov3d, view, proj, tanfovx, tanfovy, w, h,
 
     gx = (w + tile_x - 1) // tile_x
     gy = (h + tile_y - 1) // tile_y
-    x0 = np.clip(np.floor((xy[:, 0] - radius) / tile_x), 0, gx).astype(int)
-    y0 = np.clip(np.floor((xy[:, 1] - radius) / tile_y), 0, gy).astype(int)
-    x1 = np.clip(np.floor((xy[:, 0] + radius + tile_x - 1) / tile_x), 0, gx).astype(int)
-    y1 = np.clip(np.floor((xy[:, 1] + radius + tile_y - 1) / tile_y), 0, gy).astype(int)
-    visible = (depth > 0.2) & (det > 0) & ((x1 - x0) * (y1 - y0) > 0)
+    if opacity is None:
+        rx = ry = radius
+    else:
+        op = np.asarray(opacity).reshape(-1)
+        q_cut = np.maximum(2.0 * np.log(np.maximum(op, 1e-9) * 255.0), 0.0)
+        # bbox half-extents of {q<=Q}: sqrt(Q*cov2d_xx), sqrt(Q*cov2d_yy);
+        # cov2d entries recovered from the conic inverse: a=cc/detA etc.,
+        # but we saved a,c directly via conic*det relations
+        a_ = conic[:, 2] * det   # = a (cov2d_xx + lowpass)
+        c_ = conic[:, 0] * det   # = c
+        rx = np.ceil(np.sqrt(q_cut * np.maximum(a_, 0.0)))
+        ry = np.ceil(np.sqrt(q_cut * np.maximum(c_, 0.0)))
+    x0 = np.clip(np.floor((xy[:, 0] - rx) / tile_x), 0, gx).astype(int)
+    y0 = np.clip(np.floor((xy[:, 1] - ry) / tile_y), 0, gy).astype(int)
+    x1 = np.clip(np.floor((xy[:, 0] + rx + tile_x - 1) / tile_x), 0, gx).astype(int)
+    y1 = np.clip(np.floor((xy[:, 1] + ry + tile_y - 1) / tile_y), 0, gy).astype(int)
+    # visibility keeps the circle-rect predicate in both modes (it mirrors
+    # the path's reference-semantics visible flag)
+    vx0 = np.clip(np.floor((xy[:, 0] - radius) / tile_x), 0, gx).astype(int)
+    vy0 = np.clip(np.floor((xy[:, 1] - radius) / tile_y), 0, gy).astype(int)
+    vx1 = np.clip(np.floor((xy[:, 0] + radius + tile_x - 1) / tile_x), 0, gx).astype(int)
+    vy1 = np.clip(np.floor((xy[:, 1] + radius + tile_y - 1) / tile_y), 0, gy).astype(int)
+    visible = (depth > 0.2) & (det > 0) & ((vx1 - vx0) * (vy1 - vy0) > 0)
     return dict(xy=xy, depth=depth, conic=conic, radius=radius,
                 rect=np.stack([x0, y0, x1, y1], 1), visible=visible)
 
@@ -71,9 +93,10 @@ def depth_key(depth):
 
 
 def render_brute(means, cov3d, colors, opacity, view, proj, tanfovx, tanfovy,
-                 w, h, bg, tile_x=16, tile_y=16):
+                 w, h, bg, tile_x=16, tile_y=16, tight_rect=False):
     pr = project_brute(means, cov3d, view, proj, tanfovx, tanfovy, w, h,
-                       tile_x, tile_y)
+                       tile_x, tile_y,
+                       opacity=opacity if tight_rect else None)
     vis = np.nonzero(pr["visible"])[0]
     # stable sort by quantized depth (matches the binner's 20-bit key)
     order = vis[np.argsort(depth_key(pr["depth"][vis]), kind="stable")]

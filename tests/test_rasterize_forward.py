@@ -11,13 +11,15 @@ from brute import render_brute
 from scenes import random_scene, cov3d_np
 
 
-def run_pair(seed, bg, n=60, w=48, h=48, tile=16, **scene_kw):
+def run_pair(seed, bg, n=60, w=48, h=48, tile=16, tight=True, **scene_kw):
+    """tight=True: both path and oracle use the alpha-threshold rect (the
+    default); tight=False cross-checks the reference's circle-rect mode."""
     sc = random_scene(n=n, seed=seed, w=w, h=h, **scene_kw)
     cov = cov3d_np(sc["scales"], sc["quats"])
     want = render_brute(sc["means"].astype(np.float64), cov.astype(np.float64),
                         sc["colors"], sc["opacity"], sc["view"], sc["proj"],
                         sc["tanfov"], sc["tanfov"], w, h, np.asarray(bg),
-                        tile_x=tile, tile_y=tile)
+                        tile_x=tile, tile_y=tile, tight_rect=tight)
     settings = RasterSettings(
         image_height=h, image_width=w, tanfovx=sc["tanfov"],
         tanfovy=sc["tanfov"], bg=jnp.asarray(bg, jnp.float32),
@@ -25,7 +27,7 @@ def run_pair(seed, bg, n=60, w=48, h=48, tile=16, **scene_kw):
         projmatrix=jnp.asarray(sc["proj"]), sh_degree=0,
         campos=jnp.zeros(3))
     cfg = RasterConfig(tile_x=tile, tile_y=tile, max_visible=256,
-                       rect_w=8, rect_h=8, chunk=16)
+                       rect_w=8, rect_h=8, chunk=16, tight_rect=tight)
     color, radii, depth, aux = rasterize(
         settings, jnp.asarray(sc["means"]), jnp.asarray(sc["opacity"]),
         scales=jnp.asarray(sc["scales"]), rotations=jnp.asarray(sc["quats"]),
@@ -37,6 +39,15 @@ def run_pair(seed, bg, n=60, w=48, h=48, tile=16, **scene_kw):
                                      (2, [0.2, 0.5, 0.9])])
 def test_forward_matches_brute(seed, bg):
     want, color, depth, radii, aux = run_pair(seed, bg)
+    assert int(aux["overflow_rect"]) == 0
+    np.testing.assert_allclose(color, want["render"], atol=2e-3)
+    np.testing.assert_allclose(depth, want["depth"], atol=5e-3)
+
+
+@pytest.mark.parametrize("seed,bg", [(0, [0, 0, 0]), (2, [0.2, 0.5, 0.9])])
+def test_forward_matches_brute_circle_rect(seed, bg):
+    # reference-parity mode: circumscribed 3σ circle rect on both sides
+    want, color, depth, radii, aux = run_pair(seed, bg, tight=False)
     assert int(aux["overflow_rect"]) == 0
     np.testing.assert_allclose(color, want["render"], atol=2e-3)
     np.testing.assert_allclose(depth, want["depth"], atol=5e-3)

@@ -61,6 +61,38 @@ def test_forward_kernel_high_opacity_early_exit():
                                np.asarray(want)[:, 0:4], atol=5e-4, rtol=1e-4)
 
 
+def test_cumsum_lane_blocked_matches_jnp():
+    # chunk > 128 engages the blocked tri-matmul path with carries
+    x = np.random.default_rng(0).normal(size=(8, 384)).astype(np.float32)
+    got = np.asarray(tk._cumsum_lane(jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.cumsum(x, axis=1), rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_kernels_chunk_256_match_jnp():
+    pair_feat, b = binned_scene(1)
+    chunk = 256
+    max_chunks = -(-pair_feat.shape[1] // chunk)
+    want = comp.composite_tiles_jnp(pair_feat, b.tile_starts, GX, GY,
+                                    TILE, TILE, chunk, max_chunks)
+    got = tk.composite_fwd_pallas(pair_feat, b.tile_starts, GX, GY,
+                                  TILE, TILE, chunk)
+    np.testing.assert_allclose(np.asarray(got)[:, 0:4],
+                               np.asarray(want)[:, 0:4], atol=5e-4, rtol=1e-4)
+    dout = jax.random.normal(jax.random.PRNGKey(1), want.shape)
+    dout = dout.at[:, 5:].set(0.0)
+    want_g = comp.composite_tiles_bwd_jnp(pair_feat, b.tile_starts, want,
+                                          dout, GX, GY, TILE, TILE, chunk,
+                                          max_chunks)
+    got_g = tk.composite_bwd_pallas(pair_feat, b.tile_starts, want, dout,
+                                    GX, GY, TILE, TILE, chunk)
+    want_g, got_g = np.asarray(want_g), np.asarray(got_g)
+    n_pairs = int(b.n_pairs)
+    scale = max(np.abs(want_g[:, :n_pairs]).max(), 1e-6)
+    np.testing.assert_allclose(got_g[:, :n_pairs], want_g[:, :n_pairs],
+                               atol=1e-5 * scale, rtol=1e-4)
+
+
 def test_backward_kernel_matches_jnp():
     for seed, op in ((0, (0.2, 0.95)), (3, (0.85, 0.99))):
         pair_feat, b = binned_scene(seed, opacity_range=op)
