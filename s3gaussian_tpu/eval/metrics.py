@@ -45,60 +45,58 @@ def _uniform_filter(x: jnp.ndarray, win: int) -> jnp.ndarray:
     return jax.scipy.signal.convolve2d(x, kernel, mode="same")
 
 
-def ssim_skimage(pred: np.ndarray, gt: np.ndarray, win: int = 7,
-                 data_range: float = 1.0) -> float:
-    """structural_similarity with default settings (channel-averaged):
-    uniform win×win window, unbiased covariance (cov_norm = N/(N-1)),
-    mean over the valid (cropped) region."""
-    pred = jnp.asarray(pred, jnp.float32)
-    gt = jnp.asarray(gt, jnp.float32)
-    if pred.ndim == 2:
-        pred, gt = pred[..., None], gt[..., None]
+def _ssim_channel_map(x: jnp.ndarray, y: jnp.ndarray, win: int,
+                      data_range: float) -> jnp.ndarray:
     np_ = win * win
     cov_norm = np_ / (np_ - 1)
     c1 = (0.01 * data_range) ** 2
     c2 = (0.03 * data_range) ** 2
+    ux = _uniform_filter(x, win)
+    uy = _uniform_filter(y, win)
+    vx = cov_norm * (_uniform_filter(x * x, win) - ux * ux)
+    vy = cov_norm * (_uniform_filter(y * y, win) - uy * uy)
+    vxy = cov_norm * (_uniform_filter(x * y, win) - ux * uy)
+    return ((2 * ux * uy + c1) * (2 * vxy + c2)) / \
+        ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
+
+
+def ssim_skimage_jnp(pred: jnp.ndarray, gt: jnp.ndarray, win: int = 7,
+                     data_range: float = 1.0) -> jnp.ndarray:
+    """structural_similarity with default settings (channel-averaged):
+    uniform win×win window, unbiased covariance (cov_norm = N/(N-1)),
+    mean over the valid (cropped) region.  Pure jnp — jit-safe, so the
+    eval sweep can compute it on device from the full-precision render."""
+    pred = jnp.asarray(pred, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    if pred.ndim == 2:
+        pred, gt = pred[..., None], gt[..., None]
     pad = win // 2
-    vals = []
-    for c in range(pred.shape[-1]):
-        x, y = pred[..., c], gt[..., c]
-        ux = _uniform_filter(x, win)
-        uy = _uniform_filter(y, win)
-        uxx = _uniform_filter(x * x, win)
-        uyy = _uniform_filter(y * y, win)
-        uxy = _uniform_filter(x * y, win)
-        vx = cov_norm * (uxx - ux * ux)
-        vy = cov_norm * (uyy - uy * uy)
-        vxy = cov_norm * (uxy - ux * uy)
-        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / \
-            ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
-        vals.append(s[pad:-pad, pad:-pad])
-    return float(jnp.mean(jnp.stack(vals)))
+    vals = [_ssim_channel_map(pred[..., c], gt[..., c], win,
+                              data_range)[pad:-pad, pad:-pad]
+            for c in range(pred.shape[-1])]
+    return jnp.mean(jnp.stack(vals))
+
+
+def ssim_skimage(pred: np.ndarray, gt: np.ndarray, win: int = 7,
+                 data_range: float = 1.0) -> float:
+    return float(ssim_skimage_jnp(pred, gt, win, data_range))
+
+
+def masked_ssim_jnp(pred, gt, mask, win: int = 7) -> jnp.ndarray:
+    """SSIM map averaged over masked pixels (video_utils.py:233-241 computes
+    the full map with full=True and averages under the mask). Pure jnp."""
+    pred = jnp.asarray(pred, jnp.float32)
+    gt = jnp.asarray(gt, jnp.float32)
+    maps = [_ssim_channel_map(pred[..., c], gt[..., c], win, 1.0)
+            for c in range(pred.shape[-1])]
+    smap = jnp.mean(jnp.stack(maps, -1), -1)
+    m = jnp.asarray(mask)
+    return (jnp.sum(jnp.where(m, smap, 0.0))
+            / jnp.maximum(jnp.sum(m), 1))
 
 
 def masked_ssim(pred, gt, mask, win: int = 7) -> float:
-    """SSIM map averaged over masked pixels (video_utils.py:233-241 computes
-    the full map with full=True and averages under the mask)."""
-    pred = jnp.asarray(pred, jnp.float32)
-    gt = jnp.asarray(gt, jnp.float32)
-    np_ = win * win
-    cov_norm = np_ / (np_ - 1)
-    c1, c2 = 0.01 ** 2, 0.03 ** 2
-    maps = []
-    for c in range(pred.shape[-1]):
-        x, y = pred[..., c], gt[..., c]
-        ux = _uniform_filter(x, win)
-        uy = _uniform_filter(y, win)
-        vx = cov_norm * (_uniform_filter(x * x, win) - ux * ux)
-        vy = cov_norm * (_uniform_filter(y * y, win) - uy * uy)
-        vxy = cov_norm * (_uniform_filter(x * y, win) - ux * uy)
-        s = ((2 * ux * uy + c1) * (2 * vxy + c2)) / \
-            ((ux ** 2 + uy ** 2 + c1) * (vx + vy + c2))
-        maps.append(s)
-    smap = jnp.mean(jnp.stack(maps, -1), -1)
-    m = jnp.asarray(mask)
-    return float(jnp.sum(jnp.where(m, smap, 0.0))
-                 / jnp.maximum(jnp.sum(m), 1))
+    return float(masked_ssim_jnp(pred, gt, mask, win))
 
 
 def lpips_or_none(pred: np.ndarray, gt: np.ndarray,

@@ -12,7 +12,6 @@ import os
 import numpy as np
 
 from s3gaussian_tpu.eval.visualization import to8b, visualize_depth
-from s3gaussian_tpu.render.renderer import render
 
 
 def render_training_image(model_path: str, tag: str, iteration: int,
@@ -21,9 +20,13 @@ def render_training_image(model_path: str, tag: str, iteration: int,
                           elapsed: float = 0.0) -> str:
     from PIL import Image, ImageDraw
 
-    pkg = render(camera, pool, deform, hp, pipe, bg, aabb, active_sh_degree,
-                 stage=stage, cfg=cfg)
-    rgb = to8b(np.asarray(pkg["render"]).transpose(1, 2, 0))
+    # compiled (and cached) render program — see eval/video.py::_jit_render
+    from s3gaussian_tpu.eval.video import _jit_render
+    from s3gaussian_tpu.eval.video import _slim
+    rfn = _jit_render(hp, pipe, cfg, stage, active_sh_degree, False, False,
+                      False)
+    pkg = rfn(_slim(camera), pool, deform, bg, aabb)
+    rgb = np.asarray(pkg["render"])          # [H,W,3] uint8 (see _to8b_dev)
     gt = to8b(np.asarray(camera.image))
     depth = visualize_depth(np.asarray(pkg["depth"]))
     strip = np.concatenate([gt, rgb, depth], axis=1)

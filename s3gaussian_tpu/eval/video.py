@@ -14,19 +14,92 @@ Parity: ``utils/video_utils.py`` (render_pixels :74-349, save_videos
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import time
 from typing import Dict, List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s3gaussian_tpu.eval.metrics import (lpips_or_none, masked_psnr,
-                                         masked_ssim, psnr, ssim_skimage)
+from s3gaussian_tpu.eval.metrics import lpips_or_none
 from s3gaussian_tpu.eval.visualization import (scene_flow_to_rgb, to8b,
                                                visualize_depth)
 from s3gaussian_tpu.render.renderer import render
+
+
+def _slim(cam):
+    """Strip per-view rasters the renderer never reads (GT image, lidar
+    depth, masks, DINO features) so each jitted render call uploads a few
+    KB of camera state instead of ~10 MB per frame — on a remote-device
+    transport the uploads, not the compute, dominate the eval sweep."""
+    import dataclasses
+    return dataclasses.replace(
+        cam, image=None, depth_map=None, dynamic_mask=None, sky_mask=None,
+        feat_map=None, semantic_mask=None, instance_mask=None, sam_mask=None)
+
+
+def _to8b_dev(x):
+    """[3,H,W] float → [H,W,3] uint8 ON DEVICE: frame downloads shrink 4×
+    (the 8-bit quantization adds ~2e-3 dB at 30 dB PSNR — far inside the
+    0.1 dB parity budget; videos/PNGs are 8-bit anyway)."""
+    x = jnp.clip(x, 0.0, 1.0).transpose(1, 2, 0)
+    return jnp.round(x * 255.0).astype(jnp.uint8)
+
+
+@functools.lru_cache(maxsize=None)
+def _jit_render(hp, pipe, cfg, stage, sh_deg, decomp, want_dx,
+                with_override, with_metrics=False):
+    """One compiled render program per static configuration — the eval
+    sweep otherwise dispatches every jnp op individually, which over a
+    remote-device transport costs ~25 ms PER OP (seconds per frame).
+    hp/pipe/cfg hash by identity; the sweep reuses the same instances.
+    Frame outputs come back as [H,W,3] uint8 (see _to8b_dev); with
+    with_metrics, PSNR/SSIM (+masked variants when the camera carries a
+    dynamic mask) are computed ON DEVICE from the full-precision f32
+    render — 8-bit quantization moves skimage-SSIM by ~0.008, beyond the
+    0.005 parity budget, so metrics must never see the u8 frames."""
+    from s3gaussian_tpu.eval.metrics import (masked_psnr, masked_ssim_jnp,
+                                             psnr, ssim_skimage_jnp)
+
+    def run(cam, pool, deform, bg, aabb, override_color=None):
+        pkg = render(cam, pool, deform, hp, pipe, bg, aabb, sh_deg,
+                     stage=stage, return_decomposition=decomp,
+                     return_dx=want_dx, override_color=override_color,
+                     cfg=cfg)
+        out = dict(pkg)
+        if with_metrics:
+            rgbf = jnp.clip(pkg["render"], 0.0, 1.0).transpose(1, 2, 0)
+            met = {"psnr": psnr(rgbf, cam.image),
+                   "ssim": ssim_skimage_jnp(rgbf, cam.image)}
+            if cam.dynamic_mask is not None:
+                met["mask_any"] = jnp.any(cam.dynamic_mask)
+                met["masked_psnr"] = masked_psnr(rgbf, cam.image,
+                                                 cam.dynamic_mask)
+                met["masked_ssim"] = masked_ssim_jnp(rgbf, cam.image,
+                                                     cam.dynamic_mask)
+            out["metrics"] = met
+        for k in ("render", "render_d", "render_s"):
+            if out.get(k) is not None:
+                out[k] = _to8b_dev(out[k])
+        # drop diagnostics the eval sweep never reads (saves downloads)
+        for k in ("radii", "visibility_filter", "alive_work", "raster_aux",
+                  "visibility_filter_d", "visibility_filter_s", "depth_d",
+                  "depth_s", "dynamic_mask", "dshs"):
+            out.pop(k, None)
+        return out
+
+    if with_override:
+        @jax.jit
+        def f(cam, pool, deform, bg, aabb, override_color):
+            return run(cam, pool, deform, bg, aabb, override_color)
+    else:
+        @jax.jit
+        def f(cam, pool, deform, bg, aabb):
+            return run(cam, pool, deform, bg, aabb)
+    return f
 
 
 def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
@@ -46,34 +119,40 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                "lpips": []}
     dx_per_cam = []
 
+    import dataclasses
+    rfn = _jit_render(hp, pipe, cfg, stage, active_sh_degree,
+                      return_decomposition, "fine" in stage, False,
+                      with_metrics=compute_metrics)
     for cam in cameras:
-        pkg = render(cam, pool, deform, hp, pipe, bg, aabb, active_sh_degree,
-                     stage=stage, return_decomposition=return_decomposition,
-                     return_dx=("fine" in stage), cfg=cfg)
-        rgb = np.clip(np.asarray(pkg["render"]).transpose(1, 2, 0), 0, 1)
+        cam_in = _slim(cam)
+        if compute_metrics:
+            # metrics run on device from the f32 render; the GT image and
+            # dynamic mask ride along (everything else stays stripped)
+            cam_in = dataclasses.replace(cam_in, image=cam.image,
+                                         dynamic_mask=cam.dynamic_mask)
+        pkg = rfn(cam_in, pool, deform, bg, aabb)
+        # frames arrive as [H,W,3] uint8 (see _to8b_dev)
+        rgb = np.asarray(pkg["render"]).astype(np.float32) / 255.0
         gt = np.asarray(cam.image)
         out["rgbs"].append(rgb)
         out["gt_rgbs"].append(gt)
         out["depths"].append(np.asarray(pkg["depth"]))
         if return_decomposition and "render_d" in pkg:
             out["dynamic_rgbs"].append(
-                np.clip(np.asarray(pkg["render_d"]).transpose(1, 2, 0), 0, 1))
+                np.asarray(pkg["render_d"]).astype(np.float32) / 255.0)
             out["static_rgbs"].append(
-                np.clip(np.asarray(pkg["render_s"]).transpose(1, 2, 0), 0, 1))
+                np.asarray(pkg["render_s"]).astype(np.float32) / 255.0)
         dx_per_cam.append(None if pkg.get("dx") is None
                           else np.asarray(pkg["dx"]))
 
         if compute_metrics:
-            metrics["psnr"].append(float(psnr(jnp.asarray(rgb), jnp.asarray(gt))))
-            metrics["ssim"].append(ssim_skimage(rgb, gt))
+            met = pkg["metrics"]
+            metrics["psnr"].append(float(met["psnr"]))
+            metrics["ssim"].append(float(met["ssim"]))
             metrics["lpips"].append(lpips_or_none(rgb, gt))
-            if cam.dynamic_mask is not None:
-                m = np.asarray(cam.dynamic_mask)
-                if m.any():
-                    metrics["masked_psnr"].append(
-                        float(masked_psnr(jnp.asarray(rgb), jnp.asarray(gt),
-                                          jnp.asarray(m))))
-                    metrics["masked_ssim"].append(masked_ssim(rgb, gt, m))
+            if "mask_any" in met and bool(met["mask_any"]):
+                metrics["masked_psnr"].append(float(met["masked_psnr"]))
+                metrics["masked_ssim"].append(float(met["masked_ssim"]))
 
     # dynamic/static split PLY export keyed on |dx| at the reference's
     # probe view (video_utils.py:243-250 → gaussian_model.py:277-348)
@@ -94,14 +173,15 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                 continue
             fflow = dx_per_cam[fwd_j] - dx_per_cam[i]
             bflow = dx_per_cam[bwd_j] - dx_per_cam[i]
+            ofn = _jit_render(hp, pipe, cfg, stage, active_sh_degree,
+                              False, False, True)
             for key, flow in (("forward_flows", fflow),
                               ("backward_flows", bflow)):
                 colors = scene_flow_to_rgb(flow, flow_max_radius=2.0)
-                pkg = render(cam, pool, deform, hp, pipe, bg, aabb,
-                             active_sh_degree, stage=stage,
-                             override_color=jnp.asarray(colors), cfg=cfg)
+                pkg = ofn(_slim(cam), pool, deform, bg, aabb,
+                          jnp.asarray(colors))
                 out[key].append(
-                    np.clip(np.asarray(pkg["render"]).transpose(1, 2, 0), 0, 1))
+                    np.asarray(pkg["render"]).astype(np.float32) / 255.0)
 
     result = {k: v for k, v in out.items() if v}
     if compute_metrics:
