@@ -57,9 +57,13 @@ def _load_weights(net: str) -> Dict[str, np.ndarray]:
 
 
 def _conv(x, w, b, stride=1, pad=0):
+    # HIGHEST: on TPU the default is bf16 conv passes; the ±0.005 LPIPS
+    # parity budget needs f32-accurate features (validated against the
+    # torch forward in f32)
     out = jax.lax.conv_general_dilated(
         x, jnp.asarray(w), (stride, stride), [(pad, pad), (pad, pad)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"))
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST)
     return out + jnp.asarray(b).reshape(1, -1, 1, 1)
 
 

@@ -40,9 +40,16 @@ def masked_psnr(pred: jnp.ndarray, gt: jnp.ndarray,
 
 
 def _uniform_filter(x: jnp.ndarray, win: int) -> jnp.ndarray:
-    """Mean filter with 'valid'-style usage (we crop afterwards). x [H,W]."""
+    """Mean filter with 'valid'-style usage (we crop afterwards). x [H,W].
+
+    HIGHEST precision is load-bearing: on TPU the conv otherwise runs in
+    bf16 passes, and SSIM's variance terms (uxx − ux²) are catastrophic
+    cancellations of ~1.0-magnitude filtered moments — bf16 rounding
+    (~4e-3) swamps real variances and produced SSIM values NOISY BY
+    ±0.01 and occasionally > 1.0 on near-identical image pairs."""
     kernel = jnp.ones((win, win), x.dtype) / (win * win)
-    return jax.scipy.signal.convolve2d(x, kernel, mode="same")
+    return jax.scipy.signal.convolve2d(x, kernel, mode="same",
+                                       precision=jax.lax.Precision.HIGHEST)
 
 
 def _ssim_channel_map(x: jnp.ndarray, y: jnp.ndarray, win: int,
