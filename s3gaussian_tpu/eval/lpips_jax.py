@@ -112,8 +112,10 @@ def _vgg_features(x, wts) -> List[jnp.ndarray]:
     return taps
 
 
-def lpips(pred: np.ndarray, gt: np.ndarray, net: str = "alex") -> float:
-    """pred/gt: [H,W,3] in [0,1]."""
+def lpips_jnp(pred, gt, net: str = "alex"):
+    """pred/gt: [H,W,3] in [0,1]. Pure jnp given the npz weights (they
+    trace as constants), so the eval sweep can run it inside the render
+    jit on the full-precision frame."""
     wts = _load_weights(net)
     x = jnp.asarray(pred, jnp.float32).transpose(2, 0, 1)[None] * 2 - 1
     y = jnp.asarray(gt, jnp.float32).transpose(2, 0, 1)[None] * 2 - 1
@@ -131,4 +133,8 @@ def lpips(pred: np.ndarray, gt: np.ndarray, net: str = "alex") -> float:
         d = (a - b) ** 2
         w = jnp.asarray(wts[f"lin{i}.weight"]).reshape(1, -1, 1, 1)
         total = total + jnp.mean(jnp.sum(d * w, axis=1))
-    return float(total)
+    return total
+
+
+def lpips(pred: np.ndarray, gt: np.ndarray, net: str = "alex") -> float:
+    return float(lpips_jnp(pred, gt, net))

@@ -24,7 +24,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from s3gaussian_tpu.eval.metrics import lpips_or_none
 from s3gaussian_tpu.eval.visualization import (scene_flow_to_rgb, to8b,
                                                visualize_depth)
 from s3gaussian_tpu.render.renderer import render
@@ -63,6 +62,15 @@ def _jit_render(hp, pipe, cfg, stage, sh_deg, decomp, want_dx,
     0.005 parity budget, so metrics must never see the u8 frames."""
     from s3gaussian_tpu.eval.metrics import (masked_psnr, masked_ssim_jnp,
                                              psnr, ssim_skimage_jnp)
+    try:
+        # weights trace as constants, so LPIPS also runs on device from
+        # the full-precision frame (the u8 download would cost up to
+        # 1/510 per pixel — past the ±0.005 LPIPS parity budget)
+        from s3gaussian_tpu.eval.lpips_jax import _load_weights, lpips_jnp
+        _load_weights("alex")
+        have_lpips = True
+    except FileNotFoundError:
+        have_lpips = False
 
     def run(cam, pool, deform, bg, aabb, override_color=None):
         pkg = render(cam, pool, deform, hp, pipe, bg, aabb, sh_deg,
@@ -74,6 +82,8 @@ def _jit_render(hp, pipe, cfg, stage, sh_deg, decomp, want_dx,
             rgbf = jnp.clip(pkg["render"], 0.0, 1.0).transpose(1, 2, 0)
             met = {"psnr": psnr(rgbf, cam.image),
                    "ssim": ssim_skimage_jnp(rgbf, cam.image)}
+            if have_lpips:
+                met["lpips"] = lpips_jnp(rgbf, cam.image)
             if cam.dynamic_mask is not None:
                 met["mask_any"] = jnp.any(cam.dynamic_mask)
                 met["masked_psnr"] = masked_psnr(rgbf, cam.image,
@@ -149,7 +159,8 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
             met = pkg["metrics"]
             metrics["psnr"].append(float(met["psnr"]))
             metrics["ssim"].append(float(met["ssim"]))
-            metrics["lpips"].append(lpips_or_none(rgb, gt))
+            metrics["lpips"].append(float(met["lpips"])
+                                    if "lpips" in met else None)
             if "mask_any" in met and bool(met["mask_any"]):
                 metrics["masked_psnr"].append(float(met["masked_psnr"]))
                 metrics["masked_ssim"].append(float(met["masked_ssim"]))

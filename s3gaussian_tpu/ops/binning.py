@@ -43,9 +43,11 @@ class PairKeys(NamedTuple):
     """Unsorted pair keys + render-set selection (static shapes).
 
     The sort itself lives with its consumer: the rasterizer's compositing
-    core carries the pair *feature rows* through the very same sort as
-    payload operands (one streaming kv-sort ≈ half the cost of
-    sort-indices-then-gather on TPU, where gathers pay ~25 ns per index)."""
+    core sorts (key, slot) and gathers the feature rows once at the
+    sorted, budget-truncated positions (measured cheaper at M = 3.3M than
+    streaming the rows through the comparator network — see
+    rasterizer.py and scripts/microbench_sort.py); the backward instead
+    carries its freshly-produced gradient rows as bf16-packed payloads."""
 
     sel: jnp.ndarray          # [NR] int32 pool index of each render slot
     sel_visible: jnp.ndarray  # [NR] bool  render slot is a real visible gaussian

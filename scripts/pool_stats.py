@@ -56,12 +56,15 @@ def main(argv=None):
                         [0, 0, 0, 1]], np.float32)
         view = np.linalg.inv(c2w).T.astype(np.float32)
 
+    # conventions (data/cameras.py, ops/transforms.py): `view` is the
+    # row-vector W2C^T; full_proj = view @ proj^T; tanfov = tan(fov/2)
+    tanfov = float(np.tan(0.5))
     proj = projection_matrix(0.01, 100.0, 1.0, 1.0)
-    full = (view.T @ np.asarray(proj).T.astype(np.float32)).astype(np.float32)
+    full = (view @ np.asarray(proj).T.astype(np.float32)).astype(np.float32)
 
     cov = build_cov3d(pool.get_scaling(), pool.get_rotation())
     pg = project_gaussians(jnp.asarray(pool.xyz), cov, jnp.asarray(view),
-                           jnp.asarray(full), 1.0, 1.0, args.w, args.h,
+                           jnp.asarray(full), tanfov, tanfov, args.w, args.h,
                            alive=pool.alive)
     rect = np.asarray(pg.tiles_rect)
     vis = np.asarray(pg.visible)
