@@ -28,6 +28,10 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--n", type=int, default=400_000)
     p.add_argument("--steps", type=int, default=12)
+    p.add_argument("--max_visible", type=int, default=1 << 18,
+                   help="render/candidate budget; size it to the workload's "
+                        "visible count - the culled path deforms exactly "
+                        "this many candidate rows")
     args = p.parse_args(argv)
 
     import jax
@@ -81,7 +85,7 @@ def main(argv=None):
 
     results = {}
     for cull in (False, True):
-        cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=1 << 18,
+        cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=args.max_visible,
                            rect_w=4, rect_h=4, pair_budget=1 << 22,
                            cull_before_deform=cull)
         state = init_state(pool, deform, aabb)
