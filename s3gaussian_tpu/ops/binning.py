@@ -80,9 +80,35 @@ def depth_key_bits(depth: jnp.ndarray) -> jnp.ndarray:
     return bits >> jnp.uint32(32 - DEPTH_BITS)
 
 
+def _quad_min_box(ca, cb, cc, bx0, bx1, by0, by1):
+    """Exact minimum of q(dx,dy) = ca·dx² + 2·cb·dx·dy + cc·dy² over the
+    box [bx0,bx1]×[by0,by1] (all [..,R] arrays; ca,cc > 0).
+
+    If the origin (the gaussian center) lies inside the box the min is 0;
+    otherwise it lies on the boundary, where each edge is a 1-D quadratic
+    whose unconstrained minimizer clamps to the edge interval."""
+    inside = (bx0 <= 0) & (0 <= bx1) & (by0 <= 0) & (0 <= by1)
+
+    def qv(dx, dy):
+        return ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+
+    def x_edge(dx):
+        dy = jnp.clip(-cb * dx / cc, by0, by1)
+        return qv(dx, dy)
+
+    def y_edge(dy):
+        dx = jnp.clip(-cb * dy / ca, bx0, bx1)
+        return qv(dx, dy)
+
+    edge_min = jnp.minimum(jnp.minimum(x_edge(bx0), x_edge(bx1)),
+                           jnp.minimum(y_edge(by0), y_edge(by1)))
+    return jnp.where(inside, 0.0, edge_min)
+
+
 def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
                    max_visible: int, rect_w: int, rect_h: int,
-                   tile_x: int = 16, tile_y: int = 16) -> PairKeys:
+                   tile_x: int = 16, tile_y: int = 16,
+                   opacities=None) -> PairKeys:
     """Visible compaction + bounded pair-key emission (no sort).
 
     Replaces ``duplicateWithKeys`` (rasterizer_impl.cu:70-111): each render
@@ -91,7 +117,16 @@ def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     center (counted in ``overflow_rect``).  Tile grids beyond the packed
     12-bit tile field (e.g. full-res 1280×1920 → 9,600 tiles) switch to a
     two-key representation, matching the reference's 64-bit keys
-    (rasterizer_impl.cu:290-309)."""
+    (rasterizer_impl.cu:290-309).
+
+    With ``opacities`` (activated, [N] or [N,1]) the emission adds an
+    EXACT ellipse–tile test on top of the tight-rect bbox: a pair is
+    valid only if the minimum of the conic quadratic over the tile's
+    pixel box reaches the alpha cutoff Q = 2·ln(255·opac).  Dropped
+    pairs have alpha < 1/255 at every pixel, which both this compositor
+    and the CUDA kernel mask to zero — output is unchanged, but thin or
+    diagonal splats stop paying for the corners of their bbox (the bbox
+    covers up to ~2× the tiles of the actual ellipse)."""
     n_tiles = grid_x * grid_y
     two_key = n_tiles >= (1 << (32 - DEPTH_BITS)) - 1
     n_pool = proj.depth.shape[0]
@@ -146,6 +181,25 @@ def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     valid = ((dx < wc[:, None]) & (dy < hc[:, None])) & sel_visible[:, None]
     tile = (y0c[:, None] + dy) * grid_x + (x0c[:, None] + dx)
 
+    if opacities is not None:
+        # exact ellipse–tile cut (docstring above); pixel centers sit at
+        # integer coords, so the tile's box spans [t·16, t·16 + 15]
+        op = opacities.reshape(-1)
+        op_s = op if nr >= n_pool else op[sel]
+        q_cut = jnp.maximum(2.0 * jnp.log(jnp.maximum(op_s, 1e-9) * 255.0),
+                            0.0)[:, None]
+        con = proj.conic if nr >= n_pool else proj.conic[sel]
+        ca, cb, cc = con[:, 0:1], con[:, 1:2], con[:, 2:3]
+        # guard dead/culled rows (conic may be garbage there; they are
+        # already invalid via sel_visible)
+        ca = jnp.maximum(ca, 1e-12)
+        cc = jnp.maximum(cc, 1e-12)
+        bx0 = ((x0c[:, None] + dx) * tile_x).astype(jnp.float32) - xy[:, 0:1]
+        by0 = ((y0c[:, None] + dy) * tile_y).astype(jnp.float32) - xy[:, 1:2]
+        qmin = _quad_min_box(ca, cb, cc, bx0, bx0 + (tile_x - 1),
+                             by0, by0 + (tile_y - 1))
+        valid = valid & (qmin <= q_cut)
+
     m = nr * rect_cap
     tile_u32 = jnp.where(valid, tile.astype(jnp.uint32), INVALID_KEY).reshape(m)
     depth_u32 = jnp.broadcast_to(dfull[:, None], (nr, rect_cap)).reshape(m)
@@ -188,12 +242,12 @@ def tile_ranges(sorted_tile: jnp.ndarray, n_tiles: int, bp: int):
 def bin_gaussians(proj: ProjectedGaussians, grid_x: int, grid_y: int,
                   max_visible: int, rect_w: int, rect_h: int,
                   tile_x: int = 16, tile_y: int = 16,
-                  pair_budget: int = 1 << 62) -> BinnedPairs:
+                  pair_budget: int = 1 << 62, opacities=None) -> BinnedPairs:
     """Key emission + index-payload sort + tile ranges (the standalone
-    binner; the rasterizer's compositing core fuses feature rows into the
-    same sort instead — see rasterizer.py)."""
+    binner; the rasterizer's compositing core sorts (key, slot) and
+    gathers features itself — see rasterizer.py)."""
     pk = make_pair_keys(proj, grid_x, grid_y, max_visible, rect_w, rect_h,
-                        tile_x, tile_y)
+                        tile_x, tile_y, opacities=opacities)
     rect_cap = rect_w * rect_h
     m = pk.keys.shape[0]
     slot = jnp.arange(m, dtype=jnp.int32)

@@ -291,7 +291,9 @@ def rasterize(
     pk = make_pair_keys(
         ProjectedGaussians(*[jax.lax.stop_gradient(x) for x in proj]),
         grid_x, grid_y, cfg.max_visible, cfg.rect_w, cfg.rect_h,
-        cfg.tile_x, cfg.tile_y)
+        cfg.tile_x, cfg.tile_y,
+        opacities=(jax.lax.stop_gradient(opacities) if cfg.tight_rect
+                   else None))
 
     feat_pool = comp.pack_pool_features(proj.xy, proj.conic, opacities,
                                         colors, proj.depth)

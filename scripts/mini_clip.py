@@ -28,9 +28,17 @@ import numpy as np
 CAM_YAWS = [0.0, 0.785, -0.785]
 
 
-def gt_scene(rng, n_ground=24_000, n_build=16_000, n_car=3_000):
+def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
     """Street-like gaussian scene in the world (= frame-0 ego) frame:
-    x forward, y left, z up. Returns dict incl. per-gaussian velocity."""
+    x forward, y left, z up. Returns dict incl. per-gaussian velocity.
+
+    Scales are sized to REAL converged-street statistics (σ ≈ 0.1 m →
+    ≤ ~10 px at typical depths): the standard 3DGS density control
+    prunes everything whose max screen radius ever exceeded 20 px once
+    past the opacity-reset interval (reference train.py:502-509,
+    gaussian_model.prune), so a scene of 30-px splats — an earlier
+    version of this generator — faithfully COLLAPSES at iteration
+    3000+. Real Waymo scenes sit well under that prior."""
     # ground: textured plane z≈0 under the ego (cameras sit at z=2)
     gx = rng.uniform(-5, 120, n_ground)
     gy = rng.uniform(-12, 12, n_ground)
@@ -39,8 +47,8 @@ def gt_scene(rng, n_ground=24_000, n_build=16_000, n_car=3_000):
     g_col = np.stack([0.25 + 0.4 * checker,
                       0.25 + 0.3 * checker,
                       0.25 + 0.1 * checker], 1)
-    g_scale = np.full((n_ground, 3), 0.30)
-    g_scale[:, 2] = 0.03
+    g_scale = np.full((n_ground, 3), 0.14)
+    g_scale[:, 2] = 0.02
 
     # "buildings": boxes of gaussians lining both sides
     bx = rng.uniform(0, 120, n_build)
@@ -52,7 +60,7 @@ def gt_scene(rng, n_ground=24_000, n_build=16_000, n_car=3_000):
                       0.3 + 0.2 * (hue == 1) + 0.1 * np.cos(bx / 7),
                       0.3 + 0.2 * (hue == 2)], 1)
     b_col = np.clip(b_col, 0, 1)
-    b_scale = np.full((n_build, 3), 0.35)
+    b_scale = np.full((n_build, 3), 0.16)
 
     # moving "cars": three clusters driving at different speeds
     cars = []
@@ -70,7 +78,7 @@ def gt_scene(rng, n_ground=24_000, n_build=16_000, n_car=3_000):
         col_c.append(np.tile(np.asarray(col), (n_per, 1)))
         vel[n_ground + n_build + i * n_per:
             n_ground + n_build + (i + 1) * n_per, :2] = car_vel[i]
-    c_scale = np.full((n_per * 3, 3), 0.25)
+    c_scale = np.full((n_per * 3, 3), 0.12)
 
     pts = np.concatenate([np.stack([gx, gy, gz], 1),
                           np.stack([bx, by, bz], 1)] + pts_c, 0)

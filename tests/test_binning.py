@@ -97,3 +97,62 @@ def test_rect_clamp_keeps_center():
         cx = min(max(cx, rect[0]), rect[2] - 1)
         cy = min(max(cy, rect[1]), rect[3] - 1)
         assert cy * 4 + cx in pairs_by_gauss[int(i)]
+
+
+def test_quad_min_box_matches_grid_search():
+    from s3gaussian_tpu.ops.binning import _quad_min_box
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        # random PSD conic
+        a = rng.uniform(0.01, 2.0)
+        c = rng.uniform(0.01, 2.0)
+        b = rng.uniform(-1, 1) * np.sqrt(a * c) * 0.95
+        bx0 = rng.uniform(-30, 20)
+        by0 = rng.uniform(-30, 20)
+        bx1, by1 = bx0 + 15, by0 + 15
+        got = float(_quad_min_box(jnp.float32(a), jnp.float32(b),
+                                  jnp.float32(c), jnp.float32(bx0),
+                                  jnp.float32(bx1), jnp.float32(by0),
+                                  jnp.float32(by1)))
+        xs = np.linspace(bx0, bx1, 121)
+        ys = np.linspace(by0, by1, 121)
+        X, Y = np.meshgrid(xs, ys)
+        want = float((a * X * X + 2 * b * X * Y + c * Y * Y).min())
+        # exact min <= grid min; equal when grid hits the minimizer
+        assert got <= want + 1e-3
+        assert got >= want - 0.35  # grid resolution slack
+
+
+def test_ellipse_tile_cut_drops_only_zero_contribution_pairs():
+    # thin diagonal gaussians: the ellipse cut must drop bbox corners
+    sc = random_scene(n=48, seed=7, scale_range=(0.02, 0.6))
+    proj = project_scene(sc)
+    op = jnp.asarray(sc["opacity"])
+    b_box = bin_gaussians(proj, 4, 4, max_visible=128, rect_w=8, rect_h=8,
+                          tile_x=16, tile_y=16)
+    b_cut = bin_gaussians(proj, 4, 4, max_visible=128, rect_w=8, rect_h=8,
+                          tile_x=16, tile_y=16, opacities=op)
+    assert int(b_cut.n_pairs) <= int(b_box.n_pairs)
+    # every dropped (tile, gaussian) pair has alpha < 1/255 at all pixels
+    def pair_set(b):
+        starts = np.asarray(b.tile_starts)
+        gid = np.asarray(b.sorted_gid)
+        sel = np.asarray(b.sel)
+        s = set()
+        for t in range(16):
+            for p in range(starts[t], starts[t + 1]):
+                s.add((t, int(sel[gid[p]])))
+        return s
+    dropped = pair_set(b_box) - pair_set(b_cut)
+    xy = np.asarray(proj.xy)
+    con = np.asarray(proj.conic)
+    opn = np.asarray(op).ravel()
+    for (t, i) in dropped:
+        tx, ty = t % 4, t // 4
+        px, py = np.meshgrid(np.arange(tx * 16, tx * 16 + 16),
+                             np.arange(ty * 16, ty * 16 + 16))
+        dx = xy[i, 0] - px
+        dy = xy[i, 1] - py
+        q = con[i, 0] * dx * dx + 2 * con[i, 1] * dx * dy + con[i, 2] * dy * dy
+        alpha = opn[i] * np.exp(-0.5 * q)
+        assert alpha.max() < 1.0 / 255.0 + 1e-6, (t, i, alpha.max())
