@@ -209,6 +209,15 @@ def main(argv=None):
     p.add_argument("--coarse", type=int, default=600)
     p.add_argument("--fine", type=int, default=1500)
     p.add_argument("--stride", type=int, default=0)
+    p.add_argument("--reset_interval", type=int, default=3000,
+                   help="opacity_reset_interval; the post-reset 20-px "
+                        "max-radius prune (reference train.py:502-509) "
+                        "assumes real-scene point budgets (1.5M init) - "
+                        "at mini-clip budgets camera-proximal ground "
+                        "splats cannot split below 20 px and a >3000-step "
+                        "run prunes itself to collapse. Raise above "
+                        "--fine to keep short synthetic runs out of that "
+                        "regime.")
     p.add_argument("--model_path", default="")
     args = p.parse_args(argv)
 
@@ -232,6 +241,7 @@ def main(argv=None):
             "--densify_until_iter", str(max(args.fine - 300, 200)),
             "--checkpoint_iterations", str(args.fine),
             "--stride", str(args.stride),
+            "--opacity_reset_interval", str(args.reset_interval),
             "--load_h", str(args.h), "--load_w", str(args.w),
             "--max_visible", str(1 << 17), "--rect_w", "4", "--rect_h", "4",
             "--pair_budget", str(1 << 22),
