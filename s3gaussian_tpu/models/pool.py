@@ -159,8 +159,12 @@ def _free_slot_order(alive: jnp.ndarray) -> jnp.ndarray:
 
 def _masked_row_write(arr: jnp.ndarray, dest: jnp.ndarray,
                       src_vals: jnp.ndarray) -> jnp.ndarray:
-    """arr[dest[i]] = src_vals[i] for dest[i] < Nc (others dropped)."""
-    return arr.at[dest].set(src_vals, mode="drop", unique_indices=True)
+    """arr[dest[i]] = src_vals[i] for dest[i] < Nc (others dropped).
+
+    No ``unique_indices``: unselected rows all carry the out-of-bounds
+    sentinel Nc (dropped by mode="drop"), and promising uniqueness over
+    actually-duplicated indices is documented undefined behavior."""
+    return arr.at[dest].set(src_vals, mode="drop")
 
 
 def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
@@ -232,7 +236,6 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
         return arr
 
     for name in params:
-        expand = (slice(None),) + (None,) * (params[name].ndim - 1)
         arr = write_rows(name, params[name])
         new_params[name] = arr
 

@@ -30,9 +30,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from s3gaussian_tpu.config import (ModelHiddenParams, OptimizationParams,
                                    PipelineParams, RasterConfig)
 from s3gaussian_tpu.data.cameras import Camera
-from s3gaussian_tpu.models.pool import add_densification_stats
-from s3gaussian_tpu.train.trainer import TrainState, compute_loss, lr_dict
-from s3gaussian_tpu.train.optim import adam_update, path_group
+from s3gaussian_tpu.train.trainer import (TrainState, apply_param_update,
+                                          compute_loss)
 
 
 def make_mesh(n_data: int = 0) -> Mesh:
@@ -40,22 +39,29 @@ def make_mesh(n_data: int = 0) -> Mesh:
     return Mesh(devs, axis_names=("data",))
 
 
-def make_parallel_train_step(mesh: Mesh, stage: str, active_sh_degree: int,
+def make_parallel_train_step(mesh: Mesh, stage: str,
                              hp: ModelHiddenParams, opt: OptimizationParams,
                              pipe: PipelineParams, cfg: RasterConfig,
                              spatial_lr_scale: float,
                              use_custom_vjp: bool = True):
-    """Returns a jitted (state, camera_batch, bg) -> (state, aux) step.
+    """Returns a jitted (state, camera_batch, active_sh_degree, bg) ->
+    (state, aux) step.
 
     ``camera_batch`` is a Camera pytree with a leading axis equal to the
-    mesh's data-axis size (see data.cameras.stack_cameras).  ``aux`` holds
-    ``metrics`` (pmean'd) plus the budget counters ``n_pairs`` /
-    ``overflow_rect`` / ``overflow_visible`` / ``overflow_pairs`` (pmax'd,
-    i.e. the worst device).
+    mesh's data-axis size (see data.cameras.stack_cameras).
+    ``active_sh_degree`` is a TRACED scalar, like the single-device step
+    (trainer.py) — the oneupSHdegree schedule costs zero recompiles of
+    the multi-device program.  ``aux`` holds ``metrics`` (pmean'd) plus
+    the budget counters ``n_pairs`` / ``overflow_rect`` /
+    ``overflow_visible`` / ``overflow_pairs`` (pmax'd, i.e. the worst
+    device).  Cross-device reductions happen here; the post-gradient
+    update (masking, NaN watchdog, Adam, stats) is the SAME code as the
+    single-device path (trainer.apply_param_update).
     """
     n_dev = mesh.shape["data"]
 
-    def per_device(state: TrainState, cam: Camera, bg: jnp.ndarray):
+    def per_device(state: TrainState, cam: Camera, active_sh_degree,
+                   bg: jnp.ndarray):
         # cam arrives with a leading local-shard axis of size 1
         cam = jax.tree_util.tree_map(lambda x: x[0], cam)
         params = {"pool": state.pool.param_dict(), "deform": state.deform}
@@ -81,26 +87,9 @@ def make_parallel_train_step(mesh: Mesh, stage: str, active_sh_degree: int,
                     for k in ("n_pairs", "overflow_rect", "overflow_visible",
                               "overflow_pairs")}
 
-        alive = state.pool.alive
-        pgrads["pool"] = {
-            k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
-            for k, v in pgrads["pool"].items()}
-        finite = jnp.isfinite(loss)
-        pgrads = jax.tree_util.tree_map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
-        fin = finite.astype(jnp.float32)
-        lrs = {k: v * fin for k, v in
-               lr_dict(state.step, opt, spatial_lr_scale).items()}
-        new_params, new_adam = adam_update(
-            params, pgrads, state.adam,
-            lr_for_leaf=lambda path: lrs[path_group(path)])
-        new_pool = state.pool.with_params(new_params["pool"])
-        new_stats = add_densification_stats(state.stats, tap_grad, radii,
-                                            visible)
-        new_state = TrainState(
-            pool=new_pool, deform=new_params["deform"], adam=new_adam,
-            stats=new_stats, step=state.step + 1, aabb=state.aabb,
-            nan_skips=state.nan_skips + (1 - finite.astype(jnp.int32)))
+        new_state = apply_param_update(state, params, pgrads, tap_grad,
+                                       loss, radii, visible, opt,
+                                       spatial_lr_scale)
         return new_state, {"metrics": metrics, **counters}
 
     from jax import shard_map
@@ -110,7 +99,7 @@ def make_parallel_train_step(mesh: Mesh, stage: str, active_sh_degree: int,
 
     step = shard_map(
         per_device, mesh=mesh,
-        in_specs=(state_spec, cam_spec, state_spec),
+        in_specs=(state_spec, cam_spec, state_spec, state_spec),
         out_specs=(state_spec, state_spec),
         check_vma=False)
     return jax.jit(step)

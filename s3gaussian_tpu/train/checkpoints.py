@@ -37,29 +37,40 @@ def save_checkpoint(model_path: str, stage: str, iteration: int,
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(model_path, stage, iteration)
-    if not keep_others:
-        for d in os.listdir(model_path) if os.path.isdir(model_path) else []:
-            if d.startswith("chkpnt_") and os.path.join(model_path, d) != path:
-                shutil.rmtree(os.path.join(model_path, d), ignore_errors=True)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
     with open(os.path.join(path, "STAGE"), "w") as f:
         f.write(f"{stage} {iteration}")
+    # delete older checkpoints only AFTER the new one is fully on disk —
+    # a crash/preemption mid-save must never leave zero resumable
+    # checkpoints (the reference deletes first, train.py:526-528; that
+    # order loses the run on preemptible workers)
+    if not keep_others:
+        for d in os.listdir(model_path) if os.path.isdir(model_path) else []:
+            full = os.path.join(model_path, d)
+            if d.startswith("chkpnt_") and full != path:
+                shutil.rmtree(full, ignore_errors=True)
     return path
 
 
 def find_checkpoint(model_path: str) -> Optional[Tuple[str, str, int]]:
-    """Latest (path, stage, iteration) under model_path."""
+    """Latest (path, stage, iteration) under model_path.  Stage outranks
+    iteration — a fine checkpoint at any iteration is later in training
+    than every coarse one (stages run sequentially, so coarse_5000 must
+    not shadow fine_3000)."""
     if not os.path.isdir(model_path):
         return None
+    stage_rank = {"coarse": 0, "fine": 1}
     best = None
+    best_key = None
     for d in os.listdir(model_path):
         if d.startswith("chkpnt_"):
             parts = d.split("_")
             stage, it = parts[1], int(parts[2])
-            if best is None or it > best[2]:
-                best = (os.path.join(model_path, d), stage, it)
+            key = (stage_rank.get(stage, -1), it)
+            if best_key is None or key > best_key:
+                best, best_key = (os.path.join(model_path, d), stage, it), key
     return best
 
 
@@ -75,14 +86,28 @@ def load_checkpoint(path: str, template: TrainState) -> Tuple[TrainState, str, i
 
 def transplant_deformation(path: str, state: TrainState) -> TrainState:
     """--prior_checkpoint: copy only the deformation (grid+mlp) params from
-    a previous clip's checkpoint into a fresh state (train.py:611-624)."""
+    a previous clip's checkpoint into a fresh state (train.py:611-624).
+
+    Restores ONLY the ``deform`` subtree: pool capacity is sized per clip
+    (data/scene.py), so restoring the whole previous TrainState against
+    this clip's template would shape-mismatch whenever the clips' pool
+    capacities differ — and nothing but the deformation field is wanted
+    anyway."""
     import orbax.checkpoint as ocp
 
-    ckptr = ocp.StandardCheckpointer()
-    prev = ckptr.restore(os.path.abspath(path), state)
-    return TrainState(pool=state.pool, deform=prev.deform, adam=state.adam,
-                      stats=state.stats, step=state.step, aabb=state.aabb,
-                      nan_skips=state.nan_skips)
+    ckptr = ocp.PyTreeCheckpointer()
+    restore_args = ocp.checkpoint_utils.construct_restore_args(
+        {"deform": state.deform})
+    prev = ckptr.restore(
+        os.path.abspath(path),
+        args=ocp.args.PyTreeRestore(
+            item={"deform": state.deform},
+            restore_args=restore_args,
+            transforms={},  # drop every checkpoint key not in the item
+        ))
+    return TrainState(pool=state.pool, deform=prev["deform"],
+                      adam=state.adam, stats=state.stats, step=state.step,
+                      aabb=state.aabb, nan_skips=state.nan_skips)
 
 
 def save_ply_pool(path: str, pool: GaussianPool) -> None:
@@ -130,7 +155,10 @@ def load_ply_pool(path: str, capacity: Optional[int] = None,
     xyz, f_dc, f_rest, op, sc, rot = parse_gaussian_ply(read_ply(path),
                                                         max_sh_degree)
     n = len(xyz)
-    cap = capacity or (1 << (n - 1).bit_length())
+    cap = capacity or max(1 << max(n - 1, 1).bit_length(), 2048)
+    assert n <= cap, (
+        f"PLY holds {n} gaussians but the requested pool capacity is "
+        f"{cap}; pass capacity >= {n}")
 
     def pad(x, fill=0.0):
         out = np.full((cap,) + x.shape[1:], fill, np.float32)

@@ -67,12 +67,15 @@ def reinit_optimizer(state: TrainState) -> TrainState:
     """Per-stage ``training_setup`` semantics (reference train.py:222): each
     stage starts with fresh Adam moments and a stage-local step for the LR
     schedules — fine must not inherit coarse's 5,000-step-advanced schedule
-    or stale momentum."""
+    or stale momentum.  Densification stats reset too: training_setup
+    zeroes xyz_gradient_accum/denom/max_radii2D (gaussian_model.py:181-185),
+    so fine's first densify must not mix coarse-tail accumulations."""
     import dataclasses
 
     params = {"pool": state.pool.param_dict(), "deform": state.deform}
     return dataclasses.replace(state, adam=init_adam(params),
-                               step=jnp.zeros((), jnp.int32))
+                               step=jnp.zeros((), jnp.int32),
+                               stats=PoolStats.zeros(state.pool.capacity))
 
 
 def lr_dict(step, opt: OptimizationParams, spatial_lr_scale: float):
@@ -165,6 +168,48 @@ def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
     return loss, aux
 
 
+def apply_param_update(state: TrainState, params, pgrads, tap_grad,
+                       loss, radii, visible, opt: OptimizationParams,
+                       spatial_lr_scale: float) -> TrainState:
+    """Post-gradient half of a train step, shared by the single-device
+    path and the shard_map data-parallel path (which calls this after its
+    cross-device reductions): dead-row grad masking, the NaN watchdog,
+    scheduled LRs, the Adam update, and densification-stats accumulation.
+    """
+    # dead pool slots must never move (their placeholder values keep all
+    # downstream math finite), so mask their gradients row-wise
+    alive = state.pool.alive
+    pgrads["pool"] = {
+        k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
+        for k, v in pgrads["pool"].items()}
+
+    # NaN watchdog: skip the whole update on a non-finite loss (zero grads
+    # AND zero lr so stale Adam momentum can't move parameters either);
+    # the screen-gradient tap must be gated too or one NaN step poisons
+    # PoolStats.xyz_grad_accum (NaN + x = NaN) and silently suppresses
+    # densification until the next stats reset
+    finite = jnp.isfinite(loss)
+    pgrads = jax.tree_util.tree_map(
+        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
+    tap_grad = jnp.where(finite, tap_grad, 0.0)
+
+    fin = finite.astype(jnp.float32)
+    lrs = {k: v * fin for k, v in
+           lr_dict(state.step, opt, spatial_lr_scale).items()}
+    new_params, new_adam = adam_update(
+        params, pgrads, state.adam,
+        lr_for_leaf=lambda path: lrs[path_group(path)])
+
+    new_pool = state.pool.with_params(new_params["pool"])
+    new_stats = add_densification_stats(state.stats, tap_grad, radii,
+                                        visible)
+    return TrainState(pool=new_pool, deform=new_params["deform"],
+                      adam=new_adam, stats=new_stats,
+                      step=state.step + 1, aabb=state.aabb,
+                      nan_skips=state.nan_skips
+                      + (1 - finite.astype(jnp.int32)))
+
+
 def _train_step_impl(state: TrainState, camera: Camera, stage: str,
                      active_sh_degree: int, hp: ModelHiddenParams,
                      opt: OptimizationParams, pipe: PipelineParams,
@@ -178,35 +223,9 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
             params, tap, state.pool.alive, camera, stage, active_sh_degree,
             hp, opt, pipe, state.aabb, bg, cfg, use_custom_vjp)
     pgrads, tap_grad = grads
-
-    # dead pool slots must never move (their placeholder values keep all
-    # downstream math finite), so mask their gradients row-wise
-    alive = state.pool.alive
-    pgrads["pool"] = {
-        k: jnp.where(alive.reshape((-1,) + (1,) * (v.ndim - 1)), v, 0.0)
-        for k, v in pgrads["pool"].items()}
-
-    # NaN watchdog: skip the whole update on a non-finite loss (zero grads
-    # AND zero lr so stale Adam momentum can't move parameters either)
-    finite = jnp.isfinite(loss)
-    pgrads = jax.tree_util.tree_map(
-        lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
-
-    fin = finite.astype(jnp.float32)
-    lrs = {k: v * fin for k, v in
-           lr_dict(state.step, opt, spatial_lr_scale).items()}
-    new_params, new_adam = adam_update(
-        params, pgrads, state.adam,
-        lr_for_leaf=lambda path: lrs[path_group(path)])
-
-    new_pool = state.pool.with_params(new_params["pool"])
-    new_stats = add_densification_stats(state.stats, tap_grad, aux["radii"],
-                                        aux["visible"])
-    new_state = TrainState(pool=new_pool, deform=new_params["deform"],
-                           adam=new_adam, stats=new_stats,
-                           step=state.step + 1, aabb=state.aabb,
-                           nan_skips=state.nan_skips
-                           + (1 - finite.astype(jnp.int32)))
+    new_state = apply_param_update(state, params, pgrads, tap_grad, loss,
+                                   aux["radii"], aux["visible"], opt,
+                                   spatial_lr_scale)
     return new_state, aux
 
 

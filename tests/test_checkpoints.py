@@ -81,6 +81,35 @@ def test_orbax_roundtrip_and_transplant(tmp_path):
                                np.asarray(fresh.pool.xyz))
 
 
+def test_transplant_across_pool_capacities(tmp_path):
+    """--prior_checkpoint must work when the previous clip's pool capacity
+    differs from the new clip's (capacity is sized per clip): only the
+    deformation subtree is restored."""
+    state = make_state(0)           # capacity 32
+    path = save_checkpoint(str(tmp_path), "fine", 9, state)
+
+    rng = np.random.default_rng(3)
+    pool_big = create_from_pcd(rng.normal(size=(40, 3)).astype(np.float32),
+                               rng.random((40, 3)).astype(np.float32), 64)
+    deform = init_deformation(jax.random.PRNGKey(3), small_hp())
+    fresh = init_state(pool_big, deform, jnp.asarray([[5.0] * 3, [-5.0] * 3]))
+    warm = transplant_deformation(path, fresh)
+    np.testing.assert_allclose(
+        np.asarray(warm.deform["mlp"]["feature_out"][0]["w"]),
+        np.asarray(state.deform["mlp"]["feature_out"][0]["w"]))
+    assert warm.pool.capacity == 64
+    np.testing.assert_allclose(np.asarray(warm.pool.xyz),
+                               np.asarray(fresh.pool.xyz))
+
+
+def test_find_checkpoint_fine_outranks_coarse(tmp_path):
+    state = make_state()
+    save_checkpoint(str(tmp_path), "coarse", 5000, state, keep_others=True)
+    save_checkpoint(str(tmp_path), "fine", 3000, state, keep_others=True)
+    found = find_checkpoint(str(tmp_path))
+    assert found[1] == "fine" and found[2] == 3000
+
+
 def test_old_checkpoints_deleted(tmp_path):
     state = make_state()
     save_checkpoint(str(tmp_path), "coarse", 5, state)

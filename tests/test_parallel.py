@@ -28,14 +28,14 @@ def test_parallel_step_runs_and_descends():
     # distinct cameras via time perturbation would also work
     batch = stack_cameras([camera] * n_dev)
 
-    step = make_parallel_train_step(mesh, "coarse", 0, hp, opt, pipe,
+    step = make_parallel_train_step(mesh, "coarse", hp, opt, pipe,
                                     helpers.CFG, 1.0)
     state = replicate_state(state, mesh)
     batch = shard_camera_batch(batch, mesh)
 
     losses = []
     for _ in range(12):
-        state, aux = step(state, batch, bg)
+        state, aux = step(state, batch, jnp.asarray(0, jnp.int32), bg)
         losses.append(float(aux["metrics"]["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
@@ -60,11 +60,11 @@ def test_parallel_matches_single_when_identical_cameras():
     s_serial, _ = train_step(state, camera, "coarse", 0, hp, opt, pipe,
                              helpers.CFG, 1.0, bg)
 
-    step = make_parallel_train_step(mesh, "coarse", 0, hp, opt, pipe,
+    step = make_parallel_train_step(mesh, "coarse", hp, opt, pipe,
                                     helpers.CFG, 1.0)
     sp = replicate_state(state, mesh)
     batch = shard_camera_batch(stack_cameras([camera] * n_dev), mesh)
-    s_par, _ = step(sp, batch, bg)
+    s_par, _ = step(sp, batch, jnp.asarray(0, jnp.int32), bg)
 
     np.testing.assert_allclose(np.asarray(s_par.pool.xyz),
                                np.asarray(s_serial.pool.xyz),

@@ -179,12 +179,15 @@ def main(argv=None):
                 active_sh = min(active_sh + 1, model.sh_degree)
             if use_parallel:
                 batch = [pop_cam() for _ in range(opt.batch_size)]
-                if par_step is None or par_step[1] != active_sh:
-                    par_step = (make_parallel_train_step(
-                        mesh, stage, active_sh, hyper, opt, pipe, cfg,
-                        scene.cameras_extent), active_sh)
-                state, aux = par_step[0](
-                    state, shard_camera_batch(stack_cameras(batch), mesh), bg)
+                if par_step is None:
+                    # active_sh is a traced operand (like the scan path):
+                    # one compile covers the whole oneupSHdegree schedule
+                    par_step = make_parallel_train_step(
+                        mesh, stage, hyper, opt, pipe, cfg,
+                        scene.cameras_extent)
+                state, aux = par_step(
+                    state, shard_camera_batch(stack_cameras(batch), mesh),
+                    jnp.asarray(active_sh, jnp.int32), bg)
                 n_done += 1
             else:
                 # scan a full block of plain steps in one dispatch when no
