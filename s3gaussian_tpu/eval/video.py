@@ -48,7 +48,7 @@ def _to8b_dev(x):
     return jnp.round(x * 255.0).astype(jnp.uint8)
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _jit_render(hp, pipe, cfg, stage, sh_deg, decomp, want_dx,
                 with_override, with_metrics=False):
     """One compiled render program per static configuration — the eval
@@ -133,14 +133,15 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
     rfn = _jit_render(hp, pipe, cfg, stage, active_sh_degree,
                       return_decomposition, "fine" in stage, False,
                       with_metrics=compute_metrics)
-    for cam in cameras:
-        cam_in = _slim(cam)
-        if compute_metrics:
-            # metrics run on device from the f32 render; the GT image and
-            # dynamic mask ride along (everything else stays stripped)
-            cam_in = dataclasses.replace(cam_in, image=cam.image,
-                                         dynamic_mask=cam.dynamic_mask)
-        pkg = rfn(cam_in, pool, deform, bg, aabb)
+    # dispatch-ahead window: downloading frame i forces a device sync, so
+    # the NEXT frame's render must already be enqueued or the sweep
+    # serializes compute behind transfers (advisor r2).  A window of 2
+    # keeps one render in flight while bounding on-device frame buffers.
+    from collections import deque
+    pending: deque = deque()
+
+    def _drain_one():
+        cam, pkg = pending.popleft()
         # frames arrive as [H,W,3] uint8 (see _to8b_dev)
         rgb = np.asarray(pkg["render"]).astype(np.float32) / 255.0
         gt = np.asarray(cam.image)
@@ -154,9 +155,8 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                 np.asarray(pkg["render_s"]).astype(np.float32) / 255.0)
         dx_per_cam.append(None if pkg.get("dx") is None
                           else np.asarray(pkg["dx"]))
-
         if compute_metrics:
-            met = pkg["metrics"]
+            met = jax.device_get(pkg["metrics"])
             metrics["psnr"].append(float(met["psnr"]))
             metrics["ssim"].append(float(met["ssim"]))
             metrics["lpips"].append(float(met["lpips"])
@@ -164,6 +164,19 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
             if "mask_any" in met and bool(met["mask_any"]):
                 metrics["masked_psnr"].append(float(met["masked_psnr"]))
                 metrics["masked_ssim"].append(float(met["masked_ssim"]))
+
+    for cam in cameras:
+        cam_in = _slim(cam)
+        if compute_metrics:
+            # metrics run on device from the f32 render; the GT image and
+            # dynamic mask ride along (everything else stays stripped)
+            cam_in = dataclasses.replace(cam_in, image=cam.image,
+                                         dynamic_mask=cam.dynamic_mask)
+        pending.append((cam, rfn(cam_in, pool, deform, bg, aabb)))
+        if len(pending) >= 2:
+            _drain_one()
+    while pending:
+        _drain_one()
 
     # dynamic/static split PLY export keyed on |dx| at the reference's
     # probe view (video_utils.py:243-250 → gaussian_model.py:277-348)

@@ -129,7 +129,10 @@ def _sample_rows_1d(rows2: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
 def _sample_rows_1d_fwd(rows2, x):
     c = rows2.shape[1] // 2
     x0 = jnp.floor(x)
-    wx = (x - x0)[:, None].astype(rows2.dtype)
+    # interpolation weights stay f32 (the lerp promotes bf16 row values to
+    # f32 exactly like the generic grid_sample_2d path); only the gathered
+    # ROW VALUES ride in the compute dtype — that is where the bytes are
+    wx = (x - x0)[:, None]
     r = rows2[x0.astype(jnp.int32)]                     # [N, 2C] one gather
     lo, hi = r[:, :c], r[:, c:]
     out = (1 - wx) * lo + wx * hi
@@ -143,8 +146,10 @@ def _sample_rows_1d_bwd(res, g):
     c = r.shape[1] // 2
     lo, hi = r[:, :c], r[:, c:]
     d_x = jnp.sum(((hi - lo) * g).astype(jnp.float32), axis=1)
-    gd = g.astype(rdtype)
-    d_pairs = jnp.concatenate([(1 - wx) * gd, wx * gd], axis=1)   # [N, 2C]
+    # weight in f32, then cast the finished products to the grid's compute
+    # dtype so the one-hot matmul keeps its bf16 bandwidth win
+    d_pairs = jnp.concatenate([(1 - wx) * g, wx * g],
+                              axis=1).astype(rdtype)   # [N, 2C]
     onehot = (x0i[None, :] == iota_w[:, None])
     d_rows2 = jax.lax.dot_general(
         onehot.astype(rdtype), d_pairs, (((1,), (0,)), ((), ())),
@@ -166,11 +171,16 @@ def sample_time_plane(plane: jnp.ndarray, sx: jnp.ndarray,
     (2C vs the quad path's 4C) and the grid gradient becomes a one-hot
     matmul over the [W, 2C] pair rows (see _sample_rows_1d)."""
     c, h, w = plane.shape
-    y = jnp.clip((t_scalar + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
-    y0 = jnp.clip(jnp.floor(y), 0.0, max(h - 2, 0))
-    wy = (y - y0).astype(plane.dtype)
-    rows_t = jax.lax.dynamic_slice(
-        plane, (0, y0.astype(jnp.int32), 0), (c, 2, w))
-    sig = (1 - wy) * rows_t[:, 0, :] + wy * rows_t[:, 1, :]   # [C, W]
+    if h == 1:
+        # degenerate single-row plane: grid_sample_2d would clamp both
+        # corners to row 0, so the t-lerp is the identity
+        sig = plane[:, 0, :]
+    else:
+        y = jnp.clip((t_scalar + 1.0) * 0.5 * (h - 1), 0.0, h - 1)
+        y0 = jnp.clip(jnp.floor(y), 0.0, h - 2)
+        wy = (y - y0).astype(plane.dtype)
+        rows_t = jax.lax.dynamic_slice(
+            plane, (0, y0.astype(jnp.int32), 0), (c, 2, w))
+        sig = (1 - wy) * rows_t[:, 0, :] + wy * rows_t[:, 1, :]   # [C, W]
     x = jnp.clip((sx + 1.0) * 0.5 * (w - 1), 0.0, w - 1)
     return _sample_rows_1d(_pair_rows_1d(sig), x)
