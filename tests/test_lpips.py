@@ -140,6 +140,23 @@ def test_lpips_identical_images_zero(tmp_path, monkeypatch):
     lpips_jax._load_weights.cache_clear()
 
 
+def test_lpips_fixture_golden_value(monkeypatch):
+    """Pins the committed fixture weights (scripts/make_lpips_fixture.py):
+    a silent edit/corruption of the npz, or a graph regression, moves this
+    golden number."""
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    fix = os.path.join(repo, "tests", "fixtures", "lpips_alex_fixture.npz")
+    monkeypatch.setenv("S3G_LPIPS_WEIGHTS", fix)
+    lpips_jax._load_weights.cache_clear()
+    r = np.random.default_rng(7)
+    pred = r.random((64, 64, 3)).astype(np.float32)
+    gt = np.clip(pred + 0.1 * r.random((64, 64, 3)).astype(np.float32), 0, 1)
+    got = lpips_jax.lpips(pred, gt)
+    np.testing.assert_allclose(got, 0.0127999, rtol=1e-3)
+    lpips_jax._load_weights.cache_clear()
+
+
 def test_lpips_none_without_weights(monkeypatch):
     from s3gaussian_tpu.eval.metrics import lpips_or_none
     monkeypatch.delenv("S3G_LPIPS_WEIGHTS", raising=False)

@@ -86,6 +86,9 @@ def main(argv=None):
           f"{len(scene.get_train_cameras())} train cams, "
           f"{len(scene.get_test_cameras())} test cams, "
           f"extent {scene.cameras_extent:.2f}")
+    from s3gaussian_tpu.data.cameras import write_cameras_json
+    write_cameras_json(os.path.join(model.model_path, "cameras.json"),
+                       scene.get_test_cameras(), scene.get_train_cameras())
 
     deform = init_deformation(jax.random.PRNGKey(args.seed), hyper)
     state = init_state(scene.pool, deform, scene.aabb)
