@@ -42,23 +42,84 @@ def _require_waymo():
             "framework itself does not need them.") from e
 
 
-def convert_one(tfrecord_path: str, out_dir: str,
-                process_keys: List[str]) -> None:  # pragma: no cover - needs TF
-    """Convert one scene TFRecord (waymo_preprocess.py:803-837)."""
-    _require_waymo()
-    import tensorflow as tf
-    from waymo_open_dataset import dataset_pb2
-    from waymo_open_dataset.utils import frame_utils, transform_utils
+def _parse_lidar_tf(frame):  # pragma: no cover - needs TF
+    """frame proto -> Nx10 float32 sweep rows (origins, points, ground,
+    intensity, elongation, laser_id), or None for camera-only frames
+    (waymo_preprocess.py:920-989).  First return only.
 
+    Per-point origins: the TOP lidar gets pose-interpolated origins from
+    ``range_image_top_pose`` (preprocess/range_pose.py — the reference's
+    compute_range_image_cartesian path); the other lasers carry no pixel
+    pose, so their origin is the extrinsic translation exactly as in the
+    reference."""
+    from waymo_open_dataset import dataset_pb2
+    from waymo_open_dataset.utils import frame_utils
+
+    from preprocess.range_pose import top_lidar_pixel_origins
+
+    (range_images, camera_projections, _,
+     range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(frame)
+    if range_image_top_pose is None:
+        return None  # camera-only split has no lidar
+
+    # per-pixel TOP-lidar pose tensor [H, W, 6] (roll, pitch, yaw, t)
+    top_pose = np.reshape(np.array(range_image_top_pose.data, np.float64),
+                          tuple(range_image_top_pose.shape.dims))
+    frame_pose = np.array(frame.pose.transform, np.float64).reshape(4, 4)
+
+    rows = []
+    points, _cp = frame_utils.convert_range_image_to_point_cloud(
+        frame, range_images, camera_projections, range_image_top_pose,
+        ri_index=0, keep_polar_features=True)
+    calibs = sorted(frame.context.laser_calibrations, key=lambda cc: cc.name)
+    for pts, cal in zip(points, calibs):
+        if pts.shape[0] == 0:
+            continue
+        pts = np.asarray(pts)
+        # keep_polar_features: [range, intensity, elongation, x, y, z]
+        xyz = pts[:, 3:6]
+        intensity = pts[:, 1:2]
+        elongation = pts[:, 2:3]
+        ext = np.array(cal.extrinsic.transform).reshape(4, 4)
+        if cal.name == dataset_pb2.LaserName.TOP:
+            # gather masked pixels row-major — the same order
+            # convert_range_image_to_point_cloud emits points in
+            ri = range_images[cal.name][0]
+            rng = np.reshape(np.array(ri.data, np.float32),
+                             tuple(ri.shape.dims))[..., 0]
+            per_pixel = top_lidar_pixel_origins(top_pose, frame_pose,
+                                                ext[:3, 3])
+            origin = per_pixel[rng > 0]
+        else:
+            origin = np.broadcast_to(ext[:3, 3], xyz.shape)
+        lid = np.full((len(xyz), 1), cal.name - 1, np.float32)
+        rows.append(np.concatenate(
+            [origin, xyz, np.zeros((len(xyz), 1), np.float32),
+             intensity, elongation, lid], axis=1).astype(np.float32))
+    if not rows:
+        return None
+    sweep = np.concatenate(rows, 0).astype(np.float32)
+    # ground channel (column 6): iterative plane fit over the whole
+    # vehicle-frame sweep (waymo_preprocess.py:175-213,959)
+    from preprocess.lidar_ground import ground_label
+    sweep[:, 6] = ground_label(sweep[:, 3:6]).astype(np.float32)
+    return sweep
+
+
+def convert_frames(frames, out_dir: str, process_keys: List[str],
+                   lidar_fn=_parse_lidar_tf, source: str = "") -> int:
+    """The converter's frame loop over already-parsed frame protos
+    (waymo_preprocess.py:803-837) — separated from the TFRecord iteration
+    so calib indexing and file layout are testable with stub protos.
+
+    ``lidar_fn(frame)`` returns the Nx10 sweep rows (or None); the default
+    needs TF + waymo-open-dataset.  Returns the number of frames."""
     for sub in ("images", "intrinsics", "extrinsics", "ego_pose", "lidar",
                 "dynamic_masks"):
         os.makedirs(os.path.join(out_dir, sub), exist_ok=True)
 
-    dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
     n_frames = 0
-    for t, data in enumerate(dataset):
-        frame = dataset_pb2.Frame()
-        frame.ParseFromString(bytearray(data.numpy()))
+    for t, frame in enumerate(frames):
         n_frames += 1
 
         if t == 0 and "calib" in process_keys:
@@ -84,53 +145,38 @@ def convert_one(tfrecord_path: str, out_dir: str,
                     f.write(img.image)
 
         if "lidar" in process_keys:
-            (range_images, camera_projections, _,
-             range_image_top_pose) = frame_utils.parse_range_image_and_camera_projection(frame)
-            if range_image_top_pose is None:
-                continue  # camera-only split has no lidar
-            # first return only (waymo_preprocess.py:941-958); origins are
-            # approximated by each laser's extrinsic translation (the
-            # reference derives per-point origins from the range-image pose;
-            # the difference is the ego motion within one sweep)
-            rows = []
-            for ri_index in (0,):
-                points, cp_points = frame_utils.convert_range_image_to_point_cloud(
-                    frame, range_images, camera_projections,
-                    range_image_top_pose, ri_index=ri_index,
-                    keep_polar_features=True)
-                # per-laser origins in vehicle frame
-                calibs = sorted(frame.context.laser_calibrations,
-                                key=lambda cc: cc.name)
-                for laser_id, (pts, cal) in enumerate(zip(points, calibs)):
-                    if pts.shape[0] == 0:
-                        continue
-                    # keep_polar_features: [range, intensity, elongation, x, y, z]
-                    xyz = pts[:, 3:6]
-                    intensity = pts[:, 1:2]
-                    elongation = pts[:, 2:3]
-                    ext = np.array(cal.extrinsic.transform).reshape(4, 4)
-                    origin = np.broadcast_to(ext[:3, 3], xyz.shape)
-                    lid = np.full((len(xyz), 1), laser_id, np.float32)
-                    rows.append(np.concatenate(
-                        [origin, xyz, np.zeros((len(xyz), 1), np.float32),
-                         intensity, elongation, lid],
-                        axis=1).astype(np.float32))
-            if rows:
-                sweep = np.concatenate(rows, 0).astype(np.float32)
-                # ground channel (column 6): iterative plane fit over the
-                # whole vehicle-frame sweep (waymo_preprocess.py:175-213,959)
-                from preprocess.lidar_ground import ground_label
-                sweep[:, 6] = ground_label(sweep[:, 3:6]).astype(np.float32)
-                sweep.tofile(os.path.join(out_dir, "lidar", f"{t:03d}.bin"))
+            sweep = lidar_fn(frame)
+            if sweep is not None:
+                sweep.astype(np.float32).tofile(
+                    os.path.join(out_dir, "lidar", f"{t:03d}.bin"))
 
         if "dynamic_masks" in process_keys:
             _save_dynamic_masks(frame, out_dir, t)
 
+    with open(os.path.join(out_dir, "frame_info.json"), "w") as f:
+        json.dump({"frames": n_frames, "source": source}, f)
+    return n_frames
+
+
+def convert_one(tfrecord_path: str, out_dir: str,
+                process_keys: List[str]) -> None:  # pragma: no cover - needs TF
+    """Convert one scene TFRecord (waymo_preprocess.py:803-837)."""
+    _require_waymo()
+    import tensorflow as tf
+    from waymo_open_dataset import dataset_pb2
+
+    def frames():
+        dataset = tf.data.TFRecordDataset(tfrecord_path, compression_type="")
+        for data in dataset:
+            frame = dataset_pb2.Frame()
+            frame.ParseFromString(bytearray(data.numpy()))
+            yield frame
+
+    convert_frames(frames(), out_dir, process_keys,
+                   source=os.path.basename(tfrecord_path))
+
     if "panoptic_segs" in process_keys:
         save_panoptic_segs(tfrecord_path, out_dir)
-
-    with open(os.path.join(out_dir, "frame_info.json"), "w") as f:
-        json.dump({"frames": n_frames, "source": os.path.basename(tfrecord_path)}, f)
 
 
 def _save_dynamic_masks(frame, out_dir: str, t: int) -> None:  # pragma: no cover

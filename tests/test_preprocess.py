@@ -126,6 +126,171 @@ def test_dynamic_mask_skips_partially_visible():
     assert mask.sum() == 0
 
 
+# ---------------------------------------------------------------------------
+# range-image pose origins (preprocess/range_pose.py)
+# ---------------------------------------------------------------------------
+
+def test_rpy_rotation_matches_composed_matrices():
+    from preprocess.range_pose import rpy_rotation
+    rng = np.random.default_rng(0)
+    r, p, y = rng.uniform(-np.pi, np.pi, 3)
+
+    def rx(a):
+        return np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                         [0, np.sin(a), np.cos(a)]])
+
+    def ry(a):
+        return np.array([[np.cos(a), 0, np.sin(a)], [0, 1, 0],
+                         [-np.sin(a), 0, np.cos(a)]])
+
+    def rz(a):
+        return np.array([[np.cos(a), -np.sin(a), 0],
+                         [np.sin(a), np.cos(a), 0], [0, 0, 1]])
+
+    got = rpy_rotation(np.asarray(r), np.asarray(p), np.asarray(y))
+    np.testing.assert_allclose(got, rz(y) @ ry(p) @ rx(r), atol=1e-12)
+
+
+def test_top_lidar_pixel_origins_vs_bruteforce():
+    """Vectorized per-pixel origins == naive 4x4 composition
+    inv(frame_pose) @ pixel_pose @ [ext_t, 1] per pixel."""
+    from preprocess.range_pose import rpy_rotation, top_lidar_pixel_origins
+    rng = np.random.default_rng(1)
+    H, W = 4, 6
+    pose_data = np.zeros((H, W, 6))
+    pose_data[..., :3] = rng.uniform(-0.3, 0.3, (H, W, 3))   # small angles
+    pose_data[..., 3:] = rng.uniform(-50, 50, (H, W, 3))
+    frame_pose = np.eye(4)
+    frame_pose[:3, :3] = rpy_rotation(*rng.uniform(-0.3, 0.3, 3))
+    frame_pose[:3, 3] = rng.uniform(-50, 50, 3)
+    ext_t = rng.uniform(-2, 2, 3)
+
+    got = top_lidar_pixel_origins(pose_data, frame_pose, ext_t)
+    assert got.shape == (H, W, 3)
+    inv_fp = np.linalg.inv(frame_pose)
+    for i in range(H):
+        for j in range(W):
+            P = np.eye(4)
+            P[:3, :3] = rpy_rotation(*pose_data[i, j, :3])
+            P[:3, 3] = pose_data[i, j, 3:]
+            want = (inv_fp @ P @ np.append(ext_t, 1.0))[:3]
+            np.testing.assert_allclose(got[i, j], want, atol=1e-4)
+
+
+def test_top_lidar_origins_stationary_identity():
+    """With every pixel pose equal to the frame pose, origins collapse to
+    the extrinsic translation (the non-TOP-laser behavior)."""
+    from preprocess.range_pose import top_lidar_pixel_origins
+    pose_data = np.zeros((2, 3, 6))
+    pose_data[..., 3:] = np.array([7.0, -2.0, 1.0])
+    frame_pose = np.eye(4)
+    frame_pose[:3, 3] = [7.0, -2.0, 1.0]
+    ext_t = np.array([1.5, 0.0, 2.2])
+    got = top_lidar_pixel_origins(pose_data, frame_pose, ext_t)
+    np.testing.assert_allclose(got, np.broadcast_to(ext_t, (2, 3, 3)),
+                               atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# converter frame loop with stub protos (no TF / waymo-open-dataset)
+# ---------------------------------------------------------------------------
+
+class _Obj:
+    """Tiny attribute bag for proto stubs."""
+
+    def __init__(self, **kw):
+        self.__dict__.update(kw)
+
+
+class _Box(_Obj):
+    def ByteSize(self):
+        return 1 if self.__dict__.get("center_x") is not None else 0
+
+
+def _stub_frame(t, n_cams=5, with_label=True):
+    rng = np.random.default_rng(100 + t)
+    calibs = []
+    for name in range(1, n_cams + 1):
+        c2e = np.eye(4)
+        c2e[:3, 3] = [1.0, 0.1 * name, 1.8]
+        calibs.append(_Obj(
+            name=name,
+            intrinsic=[500.0 + name, 500.0, 960.0, 640.0, 0, 0, 0, 0, 0],
+            extrinsic=_Obj(transform=list(c2e.reshape(-1))),
+            width=1920, height=1280))
+    pose = np.eye(4)
+    pose[:3, 3] = [2.0 * t, 0.0, 0.0]
+    images = [_Obj(name=name, image=b"JPEG" + bytes([name, t]))
+              for name in range(1, n_cams + 1)]
+    labels = []
+    if with_label:
+        labels.append(_Obj(
+            box=_Box(center_x=20.0, center_y=0.0, center_z=1.0,
+                     length=4.0, width=2.0, height=1.5, heading=0.0),
+            num_top_lidar_points_in_box=10, num_lidar_points_in_box=12,
+            metadata=_Obj(speed_x=3.0, speed_y=0.0)))
+    return _Obj(context=_Obj(camera_calibrations=calibs),
+                pose=_Obj(transform=list(pose.reshape(-1))),
+                images=images, laser_labels=labels)
+
+
+def test_convert_frames_layout_with_stub_protos(tmp_path):
+    """Drives the converter's frame loop end-to-end with fake protos:
+    calib indexing (cam = name-1), per-frame files, lidar passthrough,
+    dynamic masks, frame_info.json (VERDICT r2 weak #6)."""
+    from preprocess.waymo_converter import convert_frames
+
+    sweep = np.arange(30, dtype=np.float32).reshape(3, 10)
+    n = convert_frames(
+        [_stub_frame(0), _stub_frame(1)], str(tmp_path),
+        ["calib", "pose", "images", "lidar", "dynamic_masks"],
+        lidar_fn=lambda frame: sweep, source="stub.tfrecord")
+    assert n == 2
+
+    # calib: cameras 1..5 -> files 0..4 (cam = c.name - 1)
+    for cam in range(5):
+        intr = np.loadtxt(tmp_path / "intrinsics" / f"{cam}.txt")
+        assert intr.shape == (9,)
+        np.testing.assert_allclose(intr[0], 500.0 + cam + 1)
+        ext = np.loadtxt(tmp_path / "extrinsics" / f"{cam}.txt")
+        assert ext.shape == (4, 4)
+        np.testing.assert_allclose(ext[1, 3], 0.1 * (cam + 1))
+    assert not (tmp_path / "intrinsics" / "5.txt").exists()
+
+    for t in range(2):
+        pose = np.loadtxt(tmp_path / "ego_pose" / f"{t:03d}.txt")
+        np.testing.assert_allclose(pose[0, 3], 2.0 * t)
+        got = np.fromfile(tmp_path / "lidar" / f"{t:03d}.bin",
+                          dtype=np.float32).reshape(-1, 10)
+        np.testing.assert_allclose(got, sweep)
+        for cam in range(5):
+            img = (tmp_path / "images" / f"{t:03d}_{cam}.jpg").read_bytes()
+            assert img == b"JPEG" + bytes([cam + 1, t])
+            from PIL import Image
+            m = np.asarray(Image.open(
+                tmp_path / "dynamic_masks" / f"{t:03d}_{cam}.png"))
+            assert m.shape == (1280, 1920) and m.dtype == np.uint8
+
+    import json
+    info = json.loads((tmp_path / "frame_info.json").read_text())
+    assert info == {"frames": 2, "source": "stub.tfrecord"}
+
+
+def test_convert_frames_dynamic_mask_box_projected(tmp_path):
+    """The stub's moving box (speed 3 m/s, ahead of a forward camera) must
+    mark pixels in that camera's dynamic mask."""
+    from preprocess.waymo_converter import convert_frames
+
+    # camera 1 (file cam 0) looking down vehicle +x from near the origin
+    frame = _stub_frame(0, n_cams=1)
+    frame.context.camera_calibrations[0].extrinsic = _Obj(
+        transform=list(np.eye(4).reshape(-1)))
+    convert_frames([frame], str(tmp_path), ["dynamic_masks"])
+    from PIL import Image
+    m = np.asarray(Image.open(tmp_path / "dynamic_masks" / "000_0.png"))
+    assert m.sum() > 0
+
+
 def test_split_file_parsing():
     from preprocess.download_waymo import read_split_scene_ids
     ids = read_split_scene_ids("data/waymo_splits/dynamic32.txt")
