@@ -88,9 +88,17 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
     quats = np.zeros((n, 4), np.float32)
     quats[:, 0] = 1.0
     opac = np.full((n,), 0.9, np.float32)
+    # ground-truth motion boxes for the flow-EPE eval (eval/flow.py):
+    # each car cluster is a rigid box translating at constant velocity;
+    # half-extents pad the sampling extents by 3σ of the splat scale
+    boxes = [
+        {"center0": [float(cx), float(cy), 1.1],
+         "vel": [float(vx), float(vy), 0.0],
+         "half": [2.6, 1.4, 1.1]}
+        for (cx, cy), (vx, vy) in zip([(25, 4), (60, -4), (40, 0)], car_vel)]
     return dict(pts=pts.astype(np.float32), cols=cols.astype(np.float32),
                 scales=scales.astype(np.float32), quats=quats,
-                opac=opac, vel=vel.astype(np.float32))
+                opac=opac, vel=vel.astype(np.float32), gt_boxes=boxes)
 
 
 def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
@@ -193,6 +201,9 @@ def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
             Image.fromarray(mask, "L").save(
                 os.path.join(out, "dynamic_masks", f"{t:03d}_{ci}.png"))
 
+    with open(os.path.join(out, "gt_motion.json"), "w") as f:
+        json.dump({"frame_dt": 1.0, "n_frames": n_frames,
+                   "boxes": scene["gt_boxes"]}, f, indent=2)
     with open(os.path.join(out, "frame_info.json"), "w") as f:
         json.dump({"frames": n_frames, "source": "mini_clip_synthetic"}, f)
 
