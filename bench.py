@@ -87,6 +87,15 @@ def main():
         # a host fetch of a dependent scalar is a hard barrier
         return float(jnp.sum(st.pool.xyz[:8]))
 
+    # device-session acquisition: over the axon tunnel the FIRST device
+    # interaction waits for the shared chip (measured 2 s – 10+ min
+    # depending on pool contention).  Touch the device now and report the
+    # wait separately — it is queueing, not compilation, and folding it
+    # into compile_s made r2's compile look 10x worse than it is.
+    t0 = time.time()
+    _ = float(jax.device_put(jnp.zeros(8))[0])
+    session_s = time.time() - t0
+
     # multi-step dispatch: the reference's cadences touch the host every
     # 100 iterations at most, so the steady-state unit of work is a scanned
     # block of steps (one dispatch), exactly what the CLI runs between
@@ -119,6 +128,9 @@ def main():
     assert overflow_pairs == 0, (
         f"pair budget saturated ({overflow_pairs} pairs dropped) — the "
         "headline it/s would be an artifact of the clamp; raise pair_budget")
+    # the random-noise target makes PSNR meaningless at this horizon
+    # (VERDICT r2 weak #7) — assert optimization health instead
+    assert np.isfinite(float(aux["metrics"]["loss"])), "non-finite bench loss"
 
     # render-only FPS (the second headline metric in BASELINE.json)
     import jax as _jax
@@ -149,11 +161,12 @@ def main():
     print(json.dumps({
         "detail": {
             "backend": jax.default_backend(),
+            "session_s": round(session_s, 1),
             "compile_s": round(compile_s, 1),
             "n_pairs": int(aux["n_pairs"]),
             "overflow_pairs": overflow_pairs,
             "n_visible_overflow": int(aux["overflow_visible"]),
-            "psnr": float(aux["metrics"]["psnr"]),
+            "loss": round(float(aux["metrics"]["loss"]), 5),
             "render_fps": round(render_fps, 3),
         }}), file=sys.stderr)
 

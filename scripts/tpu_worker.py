@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Persistent TPU job runner for interactive perf work.
+
+Device-session acquisition over the axon tunnel can take minutes and is
+paid PER PROCESS; this worker acquires the chip once and then executes
+job files so consecutive experiments cost zero acquisitions.
+
+    python scripts/tpu_worker.py [jobdir=/tmp/tpu_jobs]
+
+Protocol: drop `NNN_name.py` into the jobdir; the worker execs files in
+sorted order in ONE SHARED NAMESPACE (so a later job can reuse arrays or
+compiled functions from an earlier one), writes stdout + traceback to
+`<job>.out`, and `OK`/`ERR` to `<job>.done`.  Poll the .done file.
+"""
+
+import contextlib
+import glob
+import io
+import os
+import sys
+import time
+import traceback
+
+
+def main():
+    jobdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/tpu_jobs"
+    os.makedirs(jobdir, exist_ok=True)
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    t0 = time.time()
+    import jax
+    _ = float(jax.device_put(jax.numpy.zeros(1))[0])
+    print(f"worker ready on {jax.devices()} "
+          f"(acquire {time.time()-t0:.1f}s)", flush=True)
+
+    ns = {"jax": jax}
+    while True:
+        for job in sorted(glob.glob(os.path.join(jobdir, "*.py"))):
+            done = job + ".done"
+            if os.path.exists(done):
+                continue
+            print(f"run {job}", flush=True)
+            buf = io.StringIO()
+            try:
+                with contextlib.redirect_stdout(buf):
+                    code = open(job).read()
+                    exec(compile(code, job, "exec"), ns)
+                status = "OK"
+            except BaseException:
+                buf.write(traceback.format_exc())
+                status = "ERR"
+            with open(job + ".out", "w") as f:
+                f.write(buf.getvalue())
+            with open(done, "w") as f:
+                f.write(status)
+            print(f"  -> {status}", flush=True)
+        time.sleep(0.5)
+
+
+if __name__ == "__main__":
+    main()
