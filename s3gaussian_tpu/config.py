@@ -113,6 +113,10 @@ class OptimizationParams:
     scaling_lr: float = 0.005
     rotation_lr: float = 0.001
     percent_dense: float = 0.01
+    # TPU-build extension (not in the reference): per-densify-step cap on
+    # size-based prunes as a fraction of alive points; 0 = off (reference
+    # semantics).  See models/pool.py densify_and_prune.
+    size_prune_cap: float = 0.0
     lambda_dssim: float = 0.2
     lambda_depth: float = 0.5
     densification_interval: int = 100

@@ -172,7 +172,7 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
                       grad_threshold: float, opacity_threshold: float,
                       scene_extent: float, percent_dense: float,
                       max_screen_size: Optional[jnp.ndarray],
-                      max_points: int):
+                      max_points: int, size_prune_cap: float = 0.0):
     """One densification step: clone + split + prune, fused.
 
     ``opt_rows`` maps param-group name -> tuple of row-shaped optimizer
@@ -245,17 +245,39 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
 
     # --- prune (gaussian_model.py:661-672) ---
     opac = jax.nn.sigmoid(new_params["opacity"][:, 0])
-    prune = opac < opacity_threshold
-    if max_screen_size is not None:
-        prune = prune | (stats.max_radii2d > max_screen_size)
-        prune = prune | (jnp.max(jnp.exp(new_params["scaling"]), axis=1)
-                         > 0.1 * scene_extent)
     # in-place split rows replaced the source, so no extra prune for split
     # (the reference prunes sources and appends 2 rows; net effect equal)
     newly = (jnp.zeros(nc, bool).at[clone_dest].set(clone_ok, mode="drop")
              | jnp.zeros(nc, bool).at[split_dest].set(split_ok, mode="drop")
              | split_ok)
-    prune = prune & alive & ~newly  # fresh rows aren't pruned this round
+    eligible = alive & ~newly  # fresh rows aren't pruned this round
+    prune_opac = (opac < opacity_threshold) & eligible
+    if max_screen_size is not None:
+        prune_screen = (stats.max_radii2d > max_screen_size) & eligible
+        prune_world = (jnp.max(jnp.exp(new_params["scaling"]), axis=1)
+                       > 0.1 * scene_extent) & eligible
+    else:
+        prune_screen = jnp.zeros(nc, bool)
+        prune_world = jnp.zeros(nc, bool)
+    size_prune = prune_screen | prune_world
+    n_size_sel = jnp.sum(size_prune.astype(jnp.int32))
+    if size_prune_cap and max_screen_size is not None:
+        # Per-step cap on *size-based* prunes (TPU-build stability guard,
+        # default off = reference semantics).  Once iteration passes
+        # opacity_reset_interval the reference's 20-px screen prune
+        # (train.py:502-509) activates; on small scenes it can delete
+        # camera-proximal splats faster than densify re-splits them and
+        # the run collapses.  The cap keeps only the worst offenders
+        # (largest screen radius) up to cap·n_alive rows per step.
+        # Opacity prunes — the reference's core cleanup — are never capped.
+        cap_n = (size_prune_cap
+                 * pool.n_alive.astype(jnp.float32)).astype(jnp.int32)
+        score = jnp.where(size_prune, stats.max_radii2d, -jnp.inf)
+        order = jnp.argsort(-score)
+        rank = jnp.zeros(nc, jnp.int32).at[order].set(
+            jnp.arange(nc, dtype=jnp.int32))
+        size_prune = size_prune & (rank < cap_n)
+    prune = prune_opac | size_prune
     alive = alive & ~prune
 
     # --- optimizer-state surgery: zero moments at touched rows, zero dead ---
@@ -276,6 +298,11 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
         "n_cloned": jnp.sum(clone_ok.astype(jnp.int32)),
         "n_split": jnp.sum(split_ok.astype(jnp.int32)),
         "n_pruned": jnp.sum(prune.astype(jnp.int32)),
+        "n_prune_opacity": jnp.sum(prune_opac.astype(jnp.int32)),
+        "n_prune_screen": jnp.sum((prune_screen & prune).astype(jnp.int32)),
+        "n_prune_world": jnp.sum((prune_world & prune).astype(jnp.int32)),
+        "n_prune_size_capped": n_size_sel
+        - jnp.sum(size_prune.astype(jnp.int32)),
         "n_alive": new_pool.n_alive,
         "overflow": (jnp.sum(clone_sel.astype(jnp.int32))
                      + jnp.sum(split_sel.astype(jnp.int32))

@@ -282,7 +282,7 @@ def densify_step(state: TrainState, rng: jax.Array,
     pool, new_rows, stats, info = densify_and_prune(
         state.pool, opt_rows, state.stats, rng, grad_threshold,
         opacity_threshold, scene_extent, opt.percent_dense, max_screen_size,
-        max_points=2_000_000)
+        max_points=2_000_000, size_prune_cap=opt.size_prune_cap)
     mu = {"pool": {k: new_rows[k][0] for k in new_rows},
           "deform": state.adam.mu["deform"]}
     nu = {"pool": {k: new_rows[k][1] for k in new_rows},

@@ -36,7 +36,11 @@ def test_train_cli_smoke(tmp_path):
     assert os.path.exists(os.path.join(out, "logger.json"))
     with open(os.path.join(out, "logger.json")) as f:
         lines = [json.loads(l) for l in f if l.strip()]
-    assert lines and all(np.isfinite(l["Loss"]) for l in lines)
+    loss_lines = [l for l in lines if "Loss" in l]
+    assert loss_lines and all(np.isfinite(l["Loss"]) for l in loss_lines)
+    # densify telemetry lines carry the prune-reason histogram
+    dlines = [l for l in lines if "densify" in l]
+    assert dlines and all("n_prune_screen" in l["densify"] for l in dlines)
     assert any(d.startswith("chkpnt_") for d in os.listdir(out))
 
 

@@ -143,3 +143,54 @@ def test_stats_accumulation():
     assert float(stats.denom.sum()) == 4.0
     np.testing.assert_array_equal(np.asarray(stats.max_radii2d[:4]),
                                   [0, 1, 2, 3])
+
+
+def test_prune_reason_histogram():
+    """Reason counters: opacity vs screen-size vs world-size prunes."""
+    pool, *_ = small_pool()
+    pool = GaussianPool(**{**{f.name: getattr(pool, f.name)
+                              for f in pool.__dataclass_fields__.values()},
+                           "opacity": pool.opacity.at[7].set(
+                               inverse_sigmoid(jnp.asarray(0.001))),
+                           "scaling": pool.scaling.at[9].set(5.0)})
+    stats = PoolStats(jnp.zeros(pool.capacity).at[2].set(30.0),
+                      jnp.zeros(pool.capacity), jnp.zeros(pool.capacity))
+    new_pool, _, _, info = densify_and_prune(
+        pool, zero_opt(pool), stats, jax.random.PRNGKey(0),
+        grad_threshold=10.0, opacity_threshold=0.005, scene_extent=100.0,
+        percent_dense=0.01, max_screen_size=20.0, max_points=1000)
+    assert int(info["n_prune_opacity"]) == 1   # row 7
+    assert int(info["n_prune_screen"]) == 1    # row 2 (radius 30 > 20)
+    assert int(info["n_prune_world"]) == 1     # row 9 (e^5 > 0.1*100)
+    assert int(info["n_pruned"]) == 3
+    assert int(info["n_prune_size_capped"]) == 0
+    for r in (2, 7, 9):
+        assert not bool(new_pool.alive[r])
+
+
+def test_size_prune_cap_keeps_worst_offenders():
+    """With size_prune_cap, only the largest-radius size-prune candidates
+    go; opacity prunes are never capped."""
+    pool, *_ = small_pool()
+    pool = GaussianPool(**{**{f.name: getattr(pool, f.name)
+                              for f in pool.__dataclass_fields__.values()},
+                           "opacity": pool.opacity.at[7].set(
+                               inverse_sigmoid(jnp.asarray(0.001)))})
+    radii = jnp.zeros(pool.capacity)
+    for i, r in [(1, 25.0), (2, 30.0), (3, 40.0), (4, 22.0)]:
+        radii = radii.at[i].set(r)
+    stats = PoolStats(radii, jnp.zeros(pool.capacity),
+                      jnp.zeros(pool.capacity))
+    # cap = 10% of 20 alive -> 2 size prunes max
+    new_pool, _, _, info = densify_and_prune(
+        pool, zero_opt(pool), stats, jax.random.PRNGKey(0),
+        grad_threshold=10.0, opacity_threshold=0.005, scene_extent=100.0,
+        percent_dense=0.01, max_screen_size=20.0, max_points=1000,
+        size_prune_cap=0.1)
+    # worst two (rows 3: r=40 and 2: r=30) pruned, rows 1/4 spared
+    assert not bool(new_pool.alive[3]) and not bool(new_pool.alive[2])
+    assert bool(new_pool.alive[1]) and bool(new_pool.alive[4])
+    # opacity prune (row 7) unaffected by the cap
+    assert not bool(new_pool.alive[7])
+    assert int(info["n_prune_size_capped"]) == 2
+    assert int(info["n_pruned"]) == 3

@@ -291,9 +291,21 @@ def main(argv=None):
                     state, info = densify_step(state, sub, gthr, othr,
                                                scene.cameras_extent, size_thr,
                                                opt)
+                    # per-densify telemetry: alive count + prune-reason
+                    # histogram (diagnoses reset->prune interactions)
+                    dentry = {"step": iteration, "stage": stage,
+                              "densify": {k: int(v) for k, v in
+                                          info.items()}}
+                    with open(logger_path, "a") as f:
+                        json.dump(dentry, f)
+                        f.write("\n")
                 if iteration % opt.opacity_reset_interval == 0:
                     print("reset opacity")
                     state = opacity_reset_step(state)
+                    with open(logger_path, "a") as f:
+                        json.dump({"step": iteration, "stage": stage,
+                                   "opacity_reset": True}, f)
+                        f.write("\n")
 
             if iteration in args.checkpoint_iterations:
                 print(f"[ITER {iteration}] saving checkpoint")
