@@ -66,7 +66,9 @@ def main():
     # budget silently saturated; VERDICT r1 weak #2)
     cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=CAP,
                        rect_w=4, rect_h=4, pair_budget=1 << 22,
-                       chunk=int(os.environ.get("BENCH_CHUNK", "128")))
+                       chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+                       big_budget=int(os.environ.get("BENCH_BIG_BUDGET",
+                                                     "0")))
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
     state = init_state(pool, deform, aabb)

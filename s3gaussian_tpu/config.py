@@ -239,12 +239,28 @@ class RasterConfig:
     # kernel and the CUDA kernel mask alpha < 1/255) but drops ~25-50% of
     # pairs.  Off = the reference's circumscribed 3σ circle rect.
     tight_rect: bool = True
+    # two-class pair emission: every render slot emits a 2×2
+    # center-clamped CORE; up to ``big_budget`` gaussians whose tile rect
+    # exceeds 2×2 additionally emit the PERIPHERY of their rect_w×rect_h
+    # rect (rect minus core) from a dedicated slot section.  Cuts the
+    # pair-stream length M from NR·rect_cap to 4·NR + (rect_cap−4)·NB —
+    # the sort/gather/unsort byte floor.  0 = off (single-class).  Bigs
+    # beyond the budget render their core only (graceful clamp, counted
+    # in overflow_rect).
+    big_budget: int = 0
 
     __hash__ = object.__hash__
 
     @property
     def rect_cap(self) -> int:
         return self.rect_w * self.rect_h
+
+    def n_pair_slots(self, nr: int) -> int:
+        """Length M of the pair-slot stream for an NR-slot render set."""
+        if self.big_budget <= 0:
+            return nr * self.rect_cap
+        nb = min(self.big_budget, nr)
+        return 4 * nr + (self.rect_cap - 4) * nb
 
     @property
     def max_pairs(self) -> int:

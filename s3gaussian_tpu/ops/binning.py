@@ -27,10 +27,12 @@ TPU design (all shapes static, one compiled program):
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from s3gaussian_tpu.ops.project import ProjectedGaussians
 
@@ -51,13 +53,19 @@ class PairKeys(NamedTuple):
 
     sel: jnp.ndarray          # [NR] int32 pool index of each render slot
     sel_visible: jnp.ndarray  # [NR] bool  render slot is a real visible gaussian
-    keys: jnp.ndarray         # [M=NR*rect_cap] uint32 packed [tile|depth] keys
+    keys: jnp.ndarray         # [M] uint32 packed [tile|depth] keys
     tile_u32: jnp.ndarray     # [M] uint32 tile ids (two-key path; INVALID on pad)
     depth_u32: jnp.ndarray    # [M] uint32 order-preserving depth bits
     two_key: bool             # True when tile ids don't fit the packed key
     n_visible: jnp.ndarray    # [] int32 visible gaussians (pre NR-cap)
     overflow_rect: jnp.ndarray  # [] int32 gaussians whose rect was clamped
     overflow_visible: jnp.ndarray  # [] int32 visible gaussians beyond NR budget
+    # two-class emission only (None in single-class mode): slots
+    # [0, 4·NR) are the 2×2 cores in render-slot order; slots
+    # [4·NR, 4·NR + peri·NB) are the granted bigs' peripheries
+    big_sel: Optional[jnp.ndarray] = None      # [NB] int32 pool ids of granted bigs
+    big_granted: Optional[jnp.ndarray] = None  # [NR] bool render slot got a periphery
+    big_rank: Optional[jnp.ndarray] = None     # [NR] int32 periphery section index
 
 
 class BinnedPairs(NamedTuple):
@@ -105,10 +113,39 @@ def _quad_min_box(ca, cb, cc, bx0, bx1, by0, by1):
     return jnp.where(inside, 0.0, edge_min)
 
 
+def _ellipse_ok(ca, cb, cc, q_cut, xy, tx, ty, tile_x, tile_y):
+    """Exact ellipse–tile cut: True where the conic quadratic's minimum
+    over the tile's pixel box reaches the alpha cutoff (see
+    make_pair_keys docstring).  ca/cb/cc/q_cut: [NS]; xy: [NS,2];
+    tx/ty: [NS,P] tile coords."""
+    bx0 = (tx * tile_x).astype(jnp.float32) - xy[:, 0:1]
+    by0 = (ty * tile_y).astype(jnp.float32) - xy[:, 1:2]
+    qmin = _quad_min_box(ca[:, None], cb[:, None], cc[:, None],
+                         bx0, bx0 + (tile_x - 1), by0, by0 + (tile_y - 1))
+    return qmin <= q_cut[:, None]
+
+
+@functools.lru_cache(maxsize=None)
+def _peri_table(rect_w: int, rect_h: int) -> np.ndarray:
+    """Static periphery-offset tables for two-class emission.
+
+    Entry (oy·(rect_w−1)+ox) lists the rect_w×rect_h offsets OUTSIDE the
+    2×2 core placed at (ox, oy) — the core is always a sub-rect of the
+    center-clamped big rect (nested center-clamps), so (ox, oy) ∈
+    [0, rect_w−2]×[0, rect_h−2].  Shape [(rw−1)·(rh−1), rect_cap−4, 2]."""
+    rows = []
+    for oy in range(rect_h - 1):
+        for ox in range(rect_w - 1):
+            offs = [(dx, dy) for dy in range(rect_h) for dx in range(rect_w)
+                    if not (ox <= dx < ox + 2 and oy <= dy < oy + 2)]
+            rows.append(offs)
+    return np.asarray(rows, np.int32)
+
+
 def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
                    max_visible: int, rect_w: int, rect_h: int,
                    tile_x: int = 16, tile_y: int = 16,
-                   opacities=None) -> PairKeys:
+                   opacities=None, big_budget: int = 0) -> PairKeys:
     """Visible compaction + bounded pair-key emission (no sort).
 
     Replaces ``duplicateWithKeys`` (rasterizer_impl.cu:70-111): each render
@@ -171,50 +208,130 @@ def make_pair_keys(proj: ProjectedGaussians, grid_x: int, grid_y: int,
     dfull = jax.lax.bitcast_convert_type(
         proj.depth[sel].astype(jnp.float32), jnp.uint32)
 
-    # slot r -> rect offsets with the STATIC rect_w stride (a dynamic
-    # per-gaussian divisor would put a vector integer division on the VPU's
-    # critical path); slots past the gaussian's wc×hc live rect are masked
-    # invalid instead of packed out — the emitted pair set is identical.
-    r = jnp.arange(rect_cap, dtype=jnp.int32)[None, :]        # [1, R]
-    dx = r % rect_w
-    dy = r // rect_w
-    valid = ((dx < wc[:, None]) & (dy < hc[:, None])) & sel_visible[:, None]
-    tile = (y0c[:, None] + dy) * grid_x + (x0c[:, None] + dx)
-
     if opacities is not None:
         # exact ellipse–tile cut (docstring above); pixel centers sit at
         # integer coords, so the tile's box spans [t·16, t·16 + 15]
         op = opacities.reshape(-1)
         op_s = op if nr >= n_pool else op[sel]
         q_cut = jnp.maximum(2.0 * jnp.log(jnp.maximum(op_s, 1e-9) * 255.0),
-                            0.0)[:, None]
+                            0.0)
         con = proj.conic if nr >= n_pool else proj.conic[sel]
-        ca, cb, cc = con[:, 0:1], con[:, 1:2], con[:, 2:3]
         # guard dead/culled rows (conic may be garbage there; they are
         # already invalid via sel_visible)
-        ca = jnp.maximum(ca, 1e-12)
-        cc = jnp.maximum(cc, 1e-12)
-        bx0 = ((x0c[:, None] + dx) * tile_x).astype(jnp.float32) - xy[:, 0:1]
-        by0 = ((y0c[:, None] + dy) * tile_y).astype(jnp.float32) - xy[:, 1:2]
-        qmin = _quad_min_box(ca, cb, cc, bx0, bx0 + (tile_x - 1),
-                             by0, by0 + (tile_y - 1))
-        valid = valid & (qmin <= q_cut)
+        ca = jnp.maximum(con[:, 0], 1e-12)
+        cb = con[:, 1]
+        cc = jnp.maximum(con[:, 2], 1e-12)
 
-    m = nr * rect_cap
-    tile_u32 = jnp.where(valid, tile.astype(jnp.uint32), INVALID_KEY).reshape(m)
-    depth_u32 = jnp.broadcast_to(dfull[:, None], (nr, rect_cap)).reshape(m)
-    if two_key:
-        keys = tile_u32  # packed key unusable; consumers sort (tile, depth)
-    else:
-        dbits = dfull >> jnp.uint32(32 - DEPTH_BITS)
-        key = ((tile.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS))
-               | dbits[:, None])
-        keys = jnp.where(valid, key, INVALID_KEY).reshape(m)
+    def finish(tile, valid, depth_u32, extras):
+        mm = tile.shape[0]
+        tile_u32 = jnp.where(valid, tile.astype(jnp.uint32), INVALID_KEY)
+        if two_key:
+            keys = tile_u32  # packed key unusable; consumers sort (tile, depth)
+        else:
+            dbits = depth_u32 >> jnp.uint32(32 - DEPTH_BITS)
+            key = (tile.astype(jnp.uint32) << jnp.uint32(DEPTH_BITS)) | dbits
+            keys = jnp.where(valid, key, INVALID_KEY)
+        return PairKeys(sel=sel, sel_visible=sel_visible, keys=keys,
+                        tile_u32=tile_u32, depth_u32=depth_u32,
+                        two_key=two_key, n_visible=n_visible,
+                        overflow_rect=extras["overflow_rect"],
+                        overflow_visible=overflow_visible,
+                        big_sel=extras.get("big_sel"),
+                        big_granted=extras.get("big_granted"),
+                        big_rank=extras.get("big_rank"))
 
-    return PairKeys(sel=sel, sel_visible=sel_visible, keys=keys,
-                    tile_u32=tile_u32, depth_u32=depth_u32, two_key=two_key,
-                    n_visible=n_visible, overflow_rect=overflow_rect,
-                    overflow_visible=overflow_visible)
+    if big_budget <= 0 or rect_cap <= 4 or rect_w < 2 or rect_h < 2:
+        # --- single-class emission: slot r -> rect offsets with the STATIC
+        # rect_w stride (a dynamic per-gaussian divisor would put a vector
+        # integer division on the VPU's critical path); slots past the
+        # gaussian's wc×hc live rect are masked invalid instead of packed
+        # out — the emitted pair set is identical.
+        r = jnp.arange(rect_cap, dtype=jnp.int32)[None, :]        # [1, R]
+        dx = r % rect_w
+        dy = r // rect_w
+        valid = ((dx < wc[:, None]) & (dy < hc[:, None])) & sel_visible[:, None]
+        tx = x0c[:, None] + dx
+        ty = y0c[:, None] + dy
+        tile = ty * grid_x + tx
+        if opacities is not None:
+            valid = valid & _ellipse_ok(ca, cb, cc, q_cut, xy, tx, ty,
+                                        tile_x, tile_y)
+        m = nr * rect_cap
+        return finish(tile.reshape(m), valid.reshape(m),
+                      jnp.broadcast_to(dfull[:, None],
+                                       (nr, rect_cap)).reshape(m),
+                      {"overflow_rect": overflow_rect})
+
+    # --- two-class emission: every render slot emits a 2×2 center-clamped
+    # CORE; up to big_budget slots whose rect exceeds 2×2 also emit the
+    # PERIPHERY (their clamped rect minus the core) from a dedicated slot
+    # section.  M = 4·NR + (rect_cap−4)·NB instead of NR·rect_cap — the
+    # pair stream the sorts/gathers pay for shrinks, with identical valid
+    # pairs while the big budget holds.  Bigs beyond the budget render
+    # their core only (a graceful rect clamp, counted in overflow_rect).
+    nb = min(big_budget, nr)
+    peri = rect_cap - 4
+    ws = jnp.minimum(w, 2)
+    hs = jnp.minimum(h, 2)
+    x0s = jnp.clip(cx - 1, x0, jnp.maximum(x0, x1 - ws))
+    y0s = jnp.clip(cy - 1, y0, jnp.maximum(y0, y1 - hs))
+
+    rc = jnp.arange(4, dtype=jnp.int32)[None, :]
+    cdx = rc % 2
+    cdy = rc // 2
+    core_valid = ((cdx < ws[:, None]) & (cdy < hs[:, None])
+                  & sel_visible[:, None])
+    core_tx = x0s[:, None] + cdx
+    core_ty = y0s[:, None] + cdy
+    core_tile = core_ty * grid_x + core_tx
+    if opacities is not None:
+        core_valid = core_valid & _ellipse_ok(ca, cb, cc, q_cut, xy,
+                                              core_tx, core_ty,
+                                              tile_x, tile_y)
+
+    # grant periphery slots to the first nb bigs (stable in slot order)
+    is_big = sel_visible & ((w > 2) | (h > 2))
+    brank = jnp.cumsum(is_big.astype(jnp.int32)) - 1
+    granted = is_big & (brank < nb)
+    n_demoted = jnp.sum((is_big & ~granted).astype(jnp.int32))
+    bkey = jnp.where(granted, jnp.uint32(0), jnp.uint32(1))
+    _, border = jax.lax.sort(
+        (bkey, jnp.arange(nr, dtype=jnp.int32)), num_keys=1)
+    bsl = border[:nb]                       # render-slot ids of granted bigs
+    bgranted = granted[bsl]                 # masks the tail when < nb bigs
+
+    # periphery offsets via the static table indexed by the core's
+    # position inside the big rect (core ⊆ big for nested center-clamps)
+    ox = (x0s - x0c)[bsl]
+    oy = (y0s - y0c)[bsl]
+    table = jnp.asarray(_peri_table(rect_w, rect_h))
+    # clip guards the non-granted tail of bsl (junk slots may carry
+    # garbage rects); granted rows are in range by the nesting argument
+    tidx = jnp.clip(oy * (rect_w - 1) + ox, 0, table.shape[0] - 1)
+    dxdy = table[tidx]                      # [nb, peri, 2]
+    pdx, pdy = dxdy[..., 0], dxdy[..., 1]
+    peri_valid = ((pdx < wc[bsl][:, None]) & (pdy < hc[bsl][:, None])
+                  & bgranted[:, None])
+    peri_tx = x0c[bsl][:, None] + pdx
+    peri_ty = y0c[bsl][:, None] + pdy
+    peri_tile = peri_ty * grid_x + peri_tx
+    if opacities is not None:
+        peri_valid = peri_valid & _ellipse_ok(ca[bsl], cb[bsl], cc[bsl],
+                                              q_cut[bsl], xy[bsl],
+                                              peri_tx, peri_ty,
+                                              tile_x, tile_y)
+
+    tile_all = jnp.concatenate([core_tile.reshape(-1),
+                                peri_tile.reshape(-1)])
+    valid_all = jnp.concatenate([core_valid.reshape(-1),
+                                 peri_valid.reshape(-1)])
+    d_all = jnp.concatenate([
+        jnp.broadcast_to(dfull[:, None], (nr, 4)).reshape(-1),
+        jnp.broadcast_to(dfull[bsl][:, None], (nb, peri)).reshape(-1)])
+    return finish(tile_all, valid_all, d_all,
+                  {"overflow_rect": overflow_rect + n_demoted,
+                   "big_sel": sel[bsl], "big_granted": granted,
+                   "big_rank": brank})
 
 
 def sort_pairs(pk: PairKeys, payloads):

@@ -100,14 +100,33 @@ def _const_rows(bp: int, dtype=jnp.float32) -> jnp.ndarray:
 def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                     chunk: int, max_chunks: int, nr: int, rect_cap: int,
                     bp: int, use_pallas: bool, use_custom_vjp: bool = True,
-                    pack_bf16: bool = False):
+                    pack_bf16: bool = False, nb: int = 0):
     """Build the sort+composite core for a static configuration.
 
-    The core maps (feat_pool [16,N], pair keys, sel, visible) to
-    (out [T,8,P], tile_starts, n_pairs, overflow_pairs)."""
+    The core maps (feat_pool [16,N], pair keys, sel, visible, big...) to
+    (out [T,8,P], tile_starts, n_pairs, overflow_pairs).  With nb > 0
+    (two-class emission) the pair-slot stream has two sections — cores
+    at stride 4 in [0, 4·nr), peripheries at stride rect_cap−4 after —
+    and the render set is logically extended by nb big columns."""
     n_tiles = grid_x * grid_y
-    m = nr * rect_cap
+    peri = rect_cap - 4
+    m1 = 4 * nr                    # two-class core section length
+    m = (m1 + peri * nb) if nb > 0 else nr * rect_cap
     two_key = n_tiles >= (1 << (32 - DEPTH_BITS)) - 1
+
+    def slot_to_gid(slots):
+        """Emission slot -> extended render-set column index."""
+        if nb > 0:
+            return jnp.where(slots < m1, slots // 4,
+                             nr + (slots - m1) // peri)
+        return slots // rect_cap
+
+    def extend_data(feat_pool, rows, sel, big_sel):
+        """Render-set columns of `rows`, plus the nb big columns."""
+        data = (rows if nr >= feat_pool.shape[1] else rows[:, sel])
+        if nb > 0:
+            data = jnp.concatenate([data, rows[:, big_sel]], 1)
+        return data
 
     if use_pallas:
         from s3gaussian_tpu.ops import tile_kernels as tk
@@ -131,7 +150,7 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                                                 dout, grid_x, grid_y, tile_x,
                                                 tile_y, chunk, max_chunks)
 
-    def _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel):
+    def _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel, big_sel):
         """One kv-sort of (key, slot), then ONE per-pair gather of the 10
         feature rows at the sorted (and budget-truncated) positions.
 
@@ -153,9 +172,8 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             sorted_slot = out[1]
         # sel is the identity when the render budget covers the pool
         # (make_pair_keys skips compaction) — skip the gather then
-        data = (feat_pool[:N_DATA_ROWS] if nr >= feat_pool.shape[1]
-                else feat_pool[:N_DATA_ROWS][:, sel])
-        sorted_gid = sorted_slot[:bp] // rect_cap        # render-slot per pair
+        data = extend_data(feat_pool, feat_pool[:N_DATA_ROWS], sel, big_sel)
+        sorted_gid = slot_to_gid(sorted_slot[:bp])       # column per pair
         data_rows = data[:, sorted_gid]                  # [10, bp] one gather
         stream = jnp.concatenate([data_rows, _const_rows(bp)], 0)
         tile_starts, n_pairs, overflow_pairs = tile_ranges(
@@ -164,7 +182,8 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
 
     if not use_custom_vjp:
         # plain autodiff path (test oracle; backward scatters are fine on CPU)
-        def plain_core(feat_pool, keys, tile_u32, depth_u32, sel, visible):
+        def plain_core(feat_pool, keys, tile_u32, depth_u32, sel, visible,
+                       big_sel, big_granted, big_rank):
             slot = jnp.arange(m, dtype=jnp.int32)
             if two_key:
                 s = jax.lax.sort((tile_u32, depth_u32, slot), num_keys=2)
@@ -172,10 +191,8 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             else:
                 s = jax.lax.sort((keys, slot), num_keys=1)
                 sorted_tile, sorted_slot = s[0] >> jnp.uint32(DEPTH_BITS), s[1]
-            data = (feat_pool if nr >= feat_pool.shape[1]
-                    else feat_pool[:, sel])
-            exp = jnp.repeat(data, rect_cap, axis=1)
-            stream = exp[:, sorted_slot[:bp]]
+            data = extend_data(feat_pool, feat_pool, sel, big_sel)
+            stream = data[:, slot_to_gid(sorted_slot[:bp])]
             tile_starts, n_pairs, overflow_pairs = tile_ranges(
                 sorted_tile, n_tiles, bp)
             return (fwd_impl(stream, tile_starts), tile_starts, n_pairs,
@@ -183,23 +200,27 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         return plain_core
 
     @jax.custom_vjp
-    def composite_core(feat_pool, keys, tile_u32, depth_u32, sel, visible):
+    def composite_core(feat_pool, keys, tile_u32, depth_u32, sel, visible,
+                       big_sel, big_granted, big_rank):
         stream, _, tile_starts, n_pairs, overflow_pairs = _sort_stream(
-            feat_pool, keys, tile_u32, depth_u32, sel)
+            feat_pool, keys, tile_u32, depth_u32, sel, big_sel)
         return fwd_impl(stream, tile_starts), tile_starts, n_pairs, \
             overflow_pairs
 
-    def composite_fwd(feat_pool, keys, tile_u32, depth_u32, sel, visible):
+    def composite_fwd(feat_pool, keys, tile_u32, depth_u32, sel, visible,
+                      big_sel, big_granted, big_rank):
         stream, sorted_slot, tile_starts, n_pairs, overflow_pairs = \
-            _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel)
+            _sort_stream(feat_pool, keys, tile_u32, depth_u32, sel, big_sel)
         out = fwd_impl(stream, tile_starts)
         # keep the sorted pair stream as a residual: rebuilding it in the
         # backward would cost a second payload sort
-        res = (stream, sorted_slot, tile_starts, n_pairs, visible, out)
+        res = (stream, sorted_slot, tile_starts, n_pairs, visible,
+               big_granted, big_rank, out)
         return (out, tile_starts, n_pairs, overflow_pairs), res
 
     def composite_bwd(res, cots):
-        stream, sorted_slot, tile_starts, n_pairs, visible, out = res
+        (stream, sorted_slot, tile_starts, n_pairs, visible, big_granted,
+         big_rank, out) = res
         dout = cots[0]
         pair_grads = bwd_impl(stream, tile_starts, out, dout)[:, :bp]
         # zero pairs beyond the valid range (the sentinel tail)
@@ -209,7 +230,8 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             pair_grads = jnp.pad(pair_grads, ((0, 0), (0, m - bp)))
         # un-sort by emission slot (one payload sort — the mirror of the
         # forward sort), then per-Gaussian sums are a contiguous rect-axis
-        # reduction: slot = render_slot * rect_cap + r.  With pack_bf16 the
+        # reduction: slot = render_slot * rect_cap + r (single-class), or
+        # the two sections' static strides (two-class).  With pack_bf16 the
         # 10 per-pair gradient rows travel as 5 u32 rows of bf16 pairs
         # (per-pair grads get 8-bit mantissas; the rect_cap reduction and
         # everything downstream stay f32).
@@ -226,7 +248,16 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             rows = tuple(pair_grads[i] for i in range(N_DATA_ROWS))
             s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
             d_slot = jnp.stack(s[1:], 0)                  # [10, M] slot order
-        d_compact = d_slot.reshape(N_DATA_ROWS, nr, rect_cap).sum(-1)
+        if nb > 0:
+            d_compact = d_slot[:, :m1].reshape(N_DATA_ROWS, nr, 4).sum(-1)
+            d_big = d_slot[:, m1:].reshape(N_DATA_ROWS, nb, peri).sum(-1)
+            # periphery row i is the i-th granted big in render-slot order,
+            # so big_rank indexes it directly for granted slots
+            take_b = jnp.clip(big_rank, 0, nb - 1)
+            d_compact = d_compact + jnp.where(big_granted[None, :],
+                                              d_big[:, take_b], 0.0)
+        else:
+            d_compact = d_slot.reshape(N_DATA_ROWS, nr, rect_cap).sum(-1)
         # expand render-set grads back to the pool by rank (gather, not
         # scatter: the compaction is stable so sel is increasing).  When the
         # render budget covers the whole pool, make_pair_keys skips the
@@ -244,7 +275,9 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         f0 = jax.dtypes.float0
         return (d_pool, np.zeros((m,), f0), np.zeros((m,), f0),
                 np.zeros((m,), f0), np.zeros((nr,), f0),
-                np.zeros(visible.shape, f0))
+                np.zeros(visible.shape, f0),
+                np.zeros((nb,), f0), np.zeros((nr,), f0),
+                np.zeros((nr,), f0))
 
     composite_core.defvjp(composite_fwd, composite_bwd)
     return composite_core
@@ -288,27 +321,39 @@ def rasterize(
     else:
         colors = colors_precomp
 
+    nr_budget = min(cfg.max_visible, means3d.shape[0])
+    nb = (min(cfg.big_budget, nr_budget)
+          if (cfg.big_budget > 0 and cfg.rect_cap > 4
+              and cfg.rect_w >= 2 and cfg.rect_h >= 2) else 0)
     pk = make_pair_keys(
         ProjectedGaussians(*[jax.lax.stop_gradient(x) for x in proj]),
         grid_x, grid_y, cfg.max_visible, cfg.rect_w, cfg.rect_h,
         cfg.tile_x, cfg.tile_y,
         opacities=(jax.lax.stop_gradient(opacities) if cfg.tight_rect
-                   else None))
+                   else None),
+        big_budget=nb)
 
     feat_pool = comp.pack_pool_features(proj.xy, proj.conic, opacities,
                                         colors, proj.depth)
 
     nr = pk.sel.shape[0]
-    m = nr * cfg.rect_cap
+    m = pk.keys.shape[0]
     bp = min(m, cfg.pair_budget)
     # The jnp path scans a static number of chunks per tile (truncating
     # beyond max_pairs_per_tile); the Pallas path while-loops the true count.
     max_chunks = max(1, -(-min(m, cfg.max_pairs_per_tile) // cfg.chunk))
     core = _make_composite(grid_x, grid_y, cfg.tile_x, cfg.tile_y, cfg.chunk,
                            max_chunks, nr, cfg.rect_cap, bp, _use_pallas(cfg),
-                           use_custom_vjp, _use_pack(cfg))
+                           use_custom_vjp, _use_pack(cfg), nb)
+    if nb > 0:
+        big_args = (pk.big_sel, pk.big_granted, pk.big_rank)
+    else:
+        big_args = (jnp.zeros((0,), jnp.int32),
+                    jnp.zeros((nr,), bool),
+                    jnp.zeros((nr,), jnp.int32))
     out, tile_starts, n_pairs, overflow_pairs = core(
-        feat_pool, pk.keys, pk.tile_u32, pk.depth_u32, pk.sel, proj.visible)
+        feat_pool, pk.keys, pk.tile_u32, pk.depth_u32, pk.sel, proj.visible,
+        *big_args)
 
     maps = comp.unpack_tiles(out, h, w, grid_x, grid_y, cfg.tile_x, cfg.tile_y)
     color = maps["rgb"] + maps["final_T"][None] * settings.bg[:, None, None]
