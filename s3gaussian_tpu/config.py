@@ -214,7 +214,12 @@ class RasterConfig:
 
     tile_x: int = 16           # reference config.h BLOCK_X
     tile_y: int = 16           # reference config.h BLOCK_Y
-    max_visible: int = 1 << 19  # render budget NR: gaussians after cull/compact
+    # render budget NR (gaussians after cull/compact).  0 = auto-size from
+    # the scene's init cloud at startup (train.py): 2× the largest
+    # per-camera visible count, lane-rounded — the sizing rule the
+    # cull_before_deform A/B showed is required for the culled path to win
+    # (BASELINE.md: right-sized 1.49×, oversized −4.5%).
+    max_visible: int = 1 << 19
     rect_w: int = 4            # per-gaussian tile-rect cap (width, tiles)
     rect_h: int = 4            # per-gaussian tile-rect cap (height, tiles)
     pair_budget: int = 1 << 21  # static cap on sorted pairs fed to kernels
@@ -325,7 +330,7 @@ def load_config_overrides(path: str) -> Dict[str, Dict[str, Any]]:
     exec(compile(code, path, "exec"), scope)  # noqa: S102 - trusted local file
     out = {}
     for name in ("ModelParams", "PipelineParams", "OptimizationParams",
-                 "ModelHiddenParams"):
+                 "ModelHiddenParams", "RasterConfig"):
         if name in scope and isinstance(scope[name], dict):
             out[name] = scope[name]
     return out
@@ -341,10 +346,13 @@ def merge_hparams(group, overrides: Dict[str, Any]):
 
 
 def apply_config_file(path: str, model: ModelParams, pipe: PipelineParams,
-                      opt: OptimizationParams, hyper: ModelHiddenParams):
+                      opt: OptimizationParams, hyper: ModelHiddenParams,
+                      cfg: Optional[RasterConfig] = None):
     ov = load_config_overrides(path)
     merge_hparams(model, ov.get("ModelParams", {}))
     merge_hparams(pipe, ov.get("PipelineParams", {}))
     merge_hparams(opt, ov.get("OptimizationParams", {}))
     merge_hparams(hyper, ov.get("ModelHiddenParams", {}))
+    if cfg is not None:
+        merge_hparams(cfg, ov.get("RasterConfig", {}))
     return model, pipe, opt, hyper

@@ -22,6 +22,32 @@ import time
 import numpy as np
 
 
+def auto_max_visible(points, cams, capacity, growth=2.0, lane=2048):
+    """Size the render budget NR from the scene's init cloud.
+
+    ``--max_visible 0`` resolves to ``growth``× the largest per-camera
+    in-frustum count over the training cameras, lane-rounded and clamped to
+    the pool capacity.  The cull_before_deform A/B (BASELINE.md) showed the
+    culled path needs a right-sized budget: ~2× the expected visible count
+    wins 1.49×, while an oversized budget loses 4.5% to gather overhead.
+    The 2× headroom covers densification growth and the ±32 px cull margin.
+    Visibility matches the projector's cull (ops/project.py:154-156):
+    depth > 0.2 with the 1.3·tan(FOV/2) clamp treated as the frustum edge.
+    """
+    pts = np.ascontiguousarray(np.asarray(points, np.float32))
+    best = 0
+    for cam in cams:
+        view = np.asarray(cam.world_view, np.float32)
+        p = pts @ view[:3, :3] + view[3, :3]
+        z = p[:, 2]
+        tx = 1.3 * np.tan(0.5 * float(cam.fovx))
+        ty = 1.3 * np.tan(0.5 * float(cam.fovy))
+        vis = (z > 0.2) & (np.abs(p[:, 0]) < tx * z) & (np.abs(p[:, 1]) < ty * z)
+        best = max(best, int(vis.sum()))
+    nr = int(np.ceil(growth * best / lane)) * lane
+    return max(lane, min(nr, capacity))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="S3Gaussian-TPU training")
     from s3gaussian_tpu.config import (ModelHiddenParams, ModelParams,
@@ -52,8 +78,9 @@ def main(argv=None):
     opt = extract_group(OptimizationParams, args)
     pipe = extract_group(PipelineParams, args)
     hyper = extract_group(ModelHiddenParams, args)
+    cfg = extract_group(RasterConfig, args)
     if args.configs:
-        apply_config_file(args.configs, model, pipe, opt, hyper)
+        apply_config_file(args.configs, model, pipe, opt, hyper, cfg)
 
     random.seed(args.seed)
     np.random.seed(args.seed % (2 ** 31))
@@ -94,7 +121,11 @@ def main(argv=None):
     state = init_state(scene.pool, deform, scene.aabb)
     bg = jnp.asarray([1.0, 1.0, 1.0] if model.white_background else
                      [0.0, 0.0, 0.0])
-    cfg = extract_group(RasterConfig, args)
+    if cfg.max_visible == 0:
+        cfg.max_visible = auto_max_visible(
+            scene.info.points, scene.get_train_cameras(),
+            int(scene.pool.xyz.shape[0]))
+        print(f"auto-sized max_visible = {cfg.max_visible}")
 
     start_stage, start_iter = "coarse", 0
     if args.start_checkpoint:
