@@ -230,7 +230,9 @@ def main(argv=None):
                         "--fine to keep short synthetic runs out of that "
                         "regime.")
     p.add_argument("--model_path", default="")
-    args = p.parse_args(argv)
+    # unknown flags pass through to the training CLI (--size_prune_cap,
+    # --cull_before_deform, --configs ... — anything train.py accepts)
+    args, train_extra = p.parse_known_args(argv)
 
     rng = np.random.default_rng(args.seed)
     if not os.path.exists(os.path.join(args.out, "frame_info.json")):
@@ -256,7 +258,7 @@ def main(argv=None):
             "--load_h", str(args.h), "--load_w", str(args.w),
             "--max_visible", str(1 << 17), "--rect_w", "4", "--rect_h", "4",
             "--pair_budget", str(1 << 22),
-        ])
+        ] + train_extra)
 
 
 if __name__ == "__main__":
