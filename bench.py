@@ -27,10 +27,14 @@ A100_REFERENCE_IT_PER_S = 10.0
 
 
 def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
-                 render_fps_too=True):
+                 render_fps_too=True, multicam=0):
     """Build the synthetic fine-stage workload at ``n`` gaussians and
     measure scanned train-step throughput (+ optional render-only FPS).
-    Returns a dict of measurements."""
+    With ``multicam`` B>1, each optimizer step renders B same-timestep
+    cameras against ONE deformation evaluation (train_steps_scan_multicam)
+    and the dict carries ``cams_per_s`` — directly comparable to the
+    single-camera ``it_per_s`` since the reference processes one camera
+    per iteration at batch_size 1.  Returns a dict of measurements."""
     import numpy as np
 
     import jax
@@ -42,7 +46,8 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
     from s3gaussian_tpu.models.deformation import init_deformation
     from s3gaussian_tpu.models.pool import create_from_pcd
     from s3gaussian_tpu.ops.transforms import projection_matrix
-    from s3gaussian_tpu.train.trainer import init_state, train_steps_scan
+    from s3gaussian_tpu.train.trainer import (init_state, train_steps_scan,
+                                              train_steps_scan_multicam)
 
     H, W = 640, 960
     rng = np.random.default_rng(0)
@@ -95,22 +100,47 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
     # block of steps (one dispatch), exactly what the CLI runs between
     # densify/log events
     import dataclasses as _dc
-    cam_block = stack_cameras(
-        [_dc.replace(cam, time=jnp.asarray(0.4 + 1e-4 * i, jnp.float32))
-         for i in range(scan_n)])
+
+    def shifted(c, dxs, t):
+        view2 = np.asarray(view).copy()
+        view2[3, 0] += dxs
+        full2 = (view2 @ np.asarray(proj).T).astype(np.float32)
+        return _dc.replace(c, world_view=jnp.asarray(view2),
+                           full_proj=jnp.asarray(full2),
+                           campos=jnp.asarray([-dxs, 0.0, 0.0]),
+                           time=jnp.asarray(t, jnp.float32))
+
+    if multicam > 1:
+        # [scan_n, B] same-timestep rigs (the Waymo 3-camera geometry:
+        # laterally offset views sharing one frame time)
+        cam_block = stack_cameras(
+            [stack_cameras([shifted(cam, 0.5 * b, 0.4 + 1e-4 * i)
+                            for b in range(multicam)])
+             for i in range(scan_n)])
+
+        def run_block(st):
+            return train_steps_scan_multicam(
+                st, cam_block, multicam, "fine", 3, hp, opt, pipe, cfg,
+                30.0, bg)
+    else:
+        cam_block = stack_cameras(
+            [_dc.replace(cam, time=jnp.asarray(0.4 + 1e-4 * i, jnp.float32))
+             for i in range(scan_n)])
+
+        def run_block(st):
+            return train_steps_scan(st, cam_block, "fine", 3, hp, opt,
+                                    pipe, cfg, 30.0, bg)
 
     # warm-up / compile
     t0 = time.time()
-    state, aux = train_steps_scan(state, cam_block, "fine", 3, hp, opt,
-                                  pipe, cfg, 30.0, bg)
+    state, aux = run_block(state)
     sync(state)
     compile_s = time.time() - t0
 
     n_blocks = max(n_steps // scan_n, 1)
     t0 = time.time()
     for _ in range(n_blocks):
-        state, aux = train_steps_scan(state, cam_block, "fine", 3, hp, opt,
-                                      pipe, cfg, 30.0, bg)
+        state, aux = run_block(state)
     sync(state)  # the state chain forces all steps to complete
     dt = time.time() - t0
     total_steps = n_blocks * scan_n
@@ -135,6 +165,8 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
         "n_visible_overflow": int(aux["overflow_visible"]),
         "loss": round(float(aux["metrics"]["loss"]), 5),
     }
+    if multicam > 1:
+        out["cams_per_s"] = round(it_per_s * multicam, 4)
 
     if render_fps_too:
         # render-only FPS (the second headline metric in BASELINE.json)
@@ -190,6 +222,25 @@ def main():
         "vs_baseline": round(it_per_s / A100_REFERENCE_IT_PER_S, 4),
     }), flush=True)
     print(json.dumps({"detail": res}), file=sys.stderr, flush=True)
+
+    # --- multicam variant: the Waymo 3-camera rig on one chip ---
+    # one deformation evaluation serves 3 same-timestep views, so the
+    # hexplane backward (the largest step component) amortizes 3x;
+    # cams_per_s is the apples-to-apples number vs the single-camera
+    # headline (the reference renders one camera per iteration).
+    if not os.environ.get("S3G_BENCH_SKIP_MULTICAM"):
+        try:
+            mc = run_workload(
+                n=200_000, cap=204_800, pair_budget=1 << 22, big_budget=0,
+                chunk=int(os.environ.get("BENCH_CHUNK", "128")),
+                scan_n=int(os.environ.get("BENCH_SCAN", "10")),
+                n_steps=int(os.environ.get("BENCH_STEPS", "20")),
+                render_fps_too=False, multicam=3)
+            print(json.dumps({"detail_multicam3": mc}), file=sys.stderr,
+                  flush=True)
+        except Exception as e:
+            print(json.dumps({"detail_multicam3": {"error": str(e)[:300]}}),
+                  file=sys.stderr, flush=True)
 
     # --- real-scale workload: the reference's 1.5M LiDAR-init cap ---
     if os.environ.get("S3G_BENCH_SKIP_FULL"):

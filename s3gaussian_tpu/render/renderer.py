@@ -186,3 +186,172 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
         result["dshs"] = dshs
 
     return result
+
+
+def index_camera(cams: Camera, b: int) -> Camera:
+    """Select camera ``b`` from a stacked Camera pytree (static H/W kept)."""
+    return jax.tree_util.tree_map(lambda x: x[b], cams)
+
+
+def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
+                    deform_params: Optional[Dict], hp: ModelHiddenParams,
+                    pipe: PipelineParams, bg: jnp.ndarray,
+                    aabb: Optional[jnp.ndarray] = None,
+                    active_sh_degree: int = 3, stage: str = "fine",
+                    render_feat: bool = False,
+                    mean2d_tap: Optional[jnp.ndarray] = None,
+                    cfg: RasterConfig = RasterConfig(),
+                    use_custom_vjp: bool = True) -> Dict[str, Any]:
+    """Same-timestep multi-camera render.
+
+    ``cameras`` is a stacked Camera pytree ([B, ...] leaves) whose members
+    share one timestep — the Waymo 3-camera rig at one frame.  The
+    deformation field is evaluated ONCE for the batch, so its backward pass
+    (dominated by the hexplane grid scatter-adds, the single largest step
+    component — see BASELINE.md "Round 3: step-time attribution") is paid
+    per *timestep* instead of per camera; only the per-camera rasterization
+    replicates.  This is the TPU-shaped realization of the reference's
+    ``batch_size>1`` camera loop (train.py:328-360): the reference stacks B
+    independent renders and backprops them all, re-running the deformation
+    B times because its cameras are sampled at arbitrary times.
+
+    With ``cfg.cull_before_deform`` the pre-deformation cull uses the UNION
+    of the per-camera frustum visibilities, so one compaction serves every
+    view (``cfg.max_visible`` must be sized for the union — train.py's
+    auto-sizing handles this when multicam is on).
+
+    Returns per-camera stacked ``render [B,3,H,W]`` / ``depth [B,H,W]`` /
+    ``feat [B,3,H,W]``, pool-shaped reduced ``radii`` (elementwise max) and
+    ``raster_aux.visible`` (any), summed ``n_pairs``, per-batch max
+    overflow counters, and the shared ``dx``/``dshs``/``alive_work``.
+    """
+    xyz = pool.xyz
+    dx = dshs = feat = None
+    alive_w = pool.alive
+    work_indices = None
+    work_vis0 = None
+    fine = "fine" in stage
+
+    use_cull = cfg.cull_before_deform and fine
+    if use_cull:
+        from s3gaussian_tpu.ops.compact import take_compact
+        from s3gaussian_tpu.ops.project import build_cov3d, project_gaussians
+
+        cov0 = build_cov3d(jnp.exp(pool.scaling), pool.rotation, 1.0)
+        xyz_sg = jax.lax.stop_gradient(xyz)
+        cov0_sg = jax.lax.stop_gradient(cov0)
+        vis0 = jnp.zeros(xyz.shape[0], bool)
+        for b in range(n_cams):
+            cam = index_camera(cameras, b)
+            proj0 = project_gaussians(
+                xyz_sg, cov0_sg, cam.world_view, cam.full_proj, cam.tanfovx,
+                cam.tanfovy, cam.image_width, cam.image_height,
+                tile_x=cfg.tile_x, tile_y=cfg.tile_y, alive=pool.alive,
+                radius_margin=cfg.cull_margin_px)
+            vis0 = vis0 | proj0.visible
+        n = xyz.shape[0]
+        nr = min(cfg.max_visible, n)
+        key = jnp.where(vis0, jnp.uint32(0), jnp.uint32(1))
+        _, order = jax.lax.sort((key, jnp.arange(n, dtype=jnp.int32)),
+                                num_keys=1)
+        cand = order[:nr]
+        alive_w = vis0[cand] & (jnp.arange(nr)
+                                < jnp.sum(vis0.astype(jnp.int32)))
+        work_indices, work_vis0 = cand, vis0
+        xyz = take_compact(pool.xyz, cand, vis0)
+        scaling_w = take_compact(pool.scaling, cand, vis0)
+        rotation_w = take_compact(pool.rotation, cand, vis0)
+        opacity_w = take_compact(pool.opacity, cand, vis0)
+        shs = jnp.concatenate(
+            [take_compact(pool.features_dc, cand, vis0),
+             take_compact(pool.features_rest, cand, vis0)], axis=1)
+        if mean2d_tap is not None:
+            mean2d_tap = take_compact(mean2d_tap, cand, vis0)
+    else:
+        scaling_w, rotation_w, opacity_w = (pool.scaling, pool.rotation,
+                                            pool.opacity)
+        shs = pool.get_features()
+
+    if "coarse" in stage:
+        xyz_f, scales_f, rot_f, op_f, shs_f = (xyz, scaling_w, rotation_w,
+                                               opacity_w, shs)
+    elif fine:
+        t = cameras.time[0].reshape(())  # shared timestep
+        out = apply_deformation(deform_params, hp, aabb, xyz, scaling_w,
+                                rotation_w, opacity_w, shs, t)
+        xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,
+                                               out.rotations, out.opacity,
+                                               out.shs)
+        dx, feat, dshs = out.dx, out.feat, out.dshs
+    else:
+        raise NotImplementedError(stage)
+
+    scales_act = jnp.exp(scales_f)
+    rot_act = rot_f / jnp.linalg.norm(rot_f, axis=-1, keepdims=True)
+    op_act = jax.nn.sigmoid(op_f)
+
+    colors_list = []
+    for b in range(n_cams):
+        cam = index_camera(cameras, b)
+        if pipe.convert_SHs_python:
+            colors_list.append(sh_to_color(shs_f, xyz, cam.campos,
+                                           active_sh_degree))
+        else:
+            colors_list.append(None)
+
+    renders, depths, feats = [], [], []
+    radii_red = None
+    visible_red = None
+    n_pairs = jnp.zeros((), jnp.int32)
+    ovf = {"overflow_rect": jnp.zeros((), jnp.int32),
+           "overflow_visible": jnp.zeros((), jnp.int32),
+           "overflow_pairs": jnp.zeros((), jnp.int32)}
+    for b in range(n_cams):
+        cam = index_camera(cameras, b)
+        settings = make_settings(cam, bg, active_sh_degree)
+        color, radii, depth, aux = rasterize(
+            settings, xyz_f, op_act[:, 0], scales=scales_act,
+            rotations=rot_act,
+            shs=None if colors_list[b] is not None else shs_f,
+            colors_precomp=colors_list[b], mean2d_tap=mean2d_tap,
+            alive=alive_w, cfg=cfg, use_custom_vjp=use_custom_vjp)
+        if use_cull:
+            nr = work_indices.shape[0]
+            rank = jnp.cumsum(work_vis0.astype(jnp.int32)) - 1
+            take = jnp.clip(rank, 0, nr - 1)
+            ok = work_vis0 & (rank < nr)
+            radii = jnp.where(ok, radii[take], 0)
+            vis_pool = ok & aux["visible"][take]
+        else:
+            vis_pool = aux["visible"]
+        renders.append(color)
+        depths.append(depth)
+        # reference batch semantics (train.py:489-492 under the :328-360
+        # loop): radii = elementwise max over the batch, visibility = any
+        radii_red = radii if radii_red is None else jnp.maximum(radii_red,
+                                                                radii)
+        visible_red = vis_pool if visible_red is None else (visible_red
+                                                            | vis_pool)
+        n_pairs = n_pairs + aux["n_pairs"]
+        for k in ovf:
+            ovf[k] = jnp.maximum(ovf[k], aux[k])
+        if render_feat and fine and feat is not None:
+            feat_color, _, _, _ = rasterize(
+                settings, jax.lax.stop_gradient(xyz_f), op_act[:, 0],
+                scales=scales_act, rotations=rot_act, colors_precomp=feat,
+                alive=alive_w, cfg=cfg, use_custom_vjp=use_custom_vjp)
+            feats.append(feat_color)
+
+    result: Dict[str, Any] = {
+        "render": jnp.stack(renders),
+        "depth": jnp.stack(depths),
+        "radii": radii_red,
+        "visibility_filter": radii_red > 0,
+        "alive_work": alive_w,
+        "raster_aux": {"visible": visible_red, "n_pairs": n_pairs, **ovf},
+        "dx": dx,
+        "dshs": dshs,
+    }
+    if feats:
+        result["feat"] = jnp.stack(feats)
+    return result

@@ -168,6 +168,88 @@ def compute_loss(params: Dict[str, Any], tap: jnp.ndarray, alive: jnp.ndarray,
     return loss, aux
 
 
+def compute_loss_multicam(params: Dict[str, Any], tap: jnp.ndarray,
+                          alive: jnp.ndarray, cameras: Camera, n_cams: int,
+                          stage: str, active_sh_degree: int,
+                          hp: ModelHiddenParams, opt: OptimizationParams,
+                          pipe: PipelineParams, aabb, bg, cfg: RasterConfig,
+                          use_custom_vjp: bool = True):
+    """Batched loss over ``n_cams`` same-timestep cameras.
+
+    Loss semantics match the reference's ``batch_size>1`` path
+    (train.py:362-431), which ``torch.cat``s the batch renders before each
+    loss: with equal image shapes that is exactly the pooled mean each term
+    below computes on the stacked [B,...] arrays (depth pools the valid
+    lidar mask across the batch, like ``compute_depth`` on the cat).  The
+    deformation terms (dx/dshs/hexplane reg) appear once — in the reference
+    every batch member re-evaluates the same field at its own time; here
+    the batch shares one evaluation, which is the entire point (one
+    hexplane backward scatter per optimizer step).  The shared ``tap``
+    accumulates every camera's screen-gradient, reproducing the reference's
+    summed ``viewspace_point_tensor_grad`` (train.py:435-437).
+    """
+    from s3gaussian_tpu.render.renderer import render_multicam
+
+    pool = GaussianPool(
+        xyz=params["pool"]["xyz"], features_dc=params["pool"]["f_dc"],
+        features_rest=params["pool"]["f_rest"],
+        scaling=params["pool"]["scaling"],
+        rotation=params["pool"]["rotation"],
+        opacity=params["pool"]["opacity"], alive=alive)
+    fine = "fine" in stage
+    want_feat = fine and hp.feat_head and cameras.feat_map is not None
+    pkg = render_multicam(cameras, n_cams, pool, params["deform"], hp, pipe,
+                          bg, aabb, active_sh_degree, stage=stage,
+                          render_feat=want_feat, mean2d_tap=tap, cfg=cfg,
+                          use_custom_vjp=use_custom_vjp)
+
+    gt = cameras.image.transpose(0, 3, 1, 2)  # [B,3,H,W]
+    loss = l1_loss(pkg["render"], gt)
+    metrics = {"l1": loss, "psnr": psnr(pkg["render"], gt)}
+
+    w_alive = pkg["alive_work"]
+    n_alive = jnp.maximum(jnp.sum(w_alive), 1)
+    if fine and not hp.no_dx and opt.lambda_dx != 0:
+        dx_l = jnp.sum(jnp.where(w_alive[:, None], jnp.abs(pkg["dx"]), 0.0)) \
+            / (n_alive * 3)
+        loss = loss + opt.lambda_dx * dx_l
+        metrics["dx"] = dx_l
+    if fine and not hp.no_dshs and opt.lambda_dshs != 0:
+        dshs_l = jnp.sum(jnp.where(w_alive[:, None, None],
+                                   jnp.abs(pkg["dshs"]), 0.0)) / (n_alive * 48)
+        loss = loss + opt.lambda_dshs * dshs_l
+    if opt.lambda_depth != 0 and cameras.depth_map is not None:
+        dl = depth_loss(pkg["depth"], cameras.depth_map, "l2")
+        loss = loss + opt.lambda_depth * dl
+        metrics["depth"] = dl
+    if fine and hp.time_smoothness_weight != 0:
+        reg = hx.compute_regulation(params["deform"]["grid"],
+                                    len(hp.multires),
+                                    hp.time_smoothness_weight,
+                                    hp.l1_time_planes, hp.plane_tv_weight)
+        loss = loss + reg
+        metrics["reg"] = reg
+    if opt.lambda_dssim != 0:
+        s = ssim(pkg["render"], gt)
+        loss = loss + opt.lambda_dssim * (1.0 - s)
+        metrics["ssim"] = s
+    if want_feat:
+        gt_feat = cameras.feat_map.transpose(0, 3, 1, 2)
+        fl = l2_loss(pkg["feat"], gt_feat) * opt.lambda_feat
+        loss = loss + fl
+        metrics["feat"] = fl
+
+    metrics["loss"] = loss
+    aux = {"radii": pkg["radii"],
+           "visible": pkg["raster_aux"]["visible"],
+           "n_pairs": pkg["raster_aux"]["n_pairs"],
+           "overflow_rect": pkg["raster_aux"]["overflow_rect"],
+           "overflow_visible": pkg["raster_aux"]["overflow_visible"],
+           "overflow_pairs": pkg["raster_aux"]["overflow_pairs"],
+           "metrics": metrics}
+    return loss, aux
+
+
 def apply_param_update(state: TrainState, params, pgrads, tap_grad,
                        loss, radii, visible, opt: OptimizationParams,
                        spatial_lr_scale: float) -> TrainState:
@@ -235,6 +317,60 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
 train_step = functools.partial(jax.jit, static_argnames=(
     "stage", "hp", "opt", "pipe", "cfg",
     "spatial_lr_scale", "use_custom_vjp"))(_train_step_impl)
+
+
+def _train_step_multicam_impl(state: TrainState, cameras: Camera,
+                              n_cams: int, stage: str, active_sh_degree,
+                              hp: ModelHiddenParams, opt: OptimizationParams,
+                              pipe: PipelineParams, cfg: RasterConfig,
+                              spatial_lr_scale: float, bg: jnp.ndarray,
+                              use_custom_vjp: bool = True):
+    """One optimizer step over a same-timestep camera batch (one
+    deformation evaluation, ``n_cams`` rasterizations)."""
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    (loss, aux), grads = jax.value_and_grad(
+        compute_loss_multicam, argnums=(0, 1), has_aux=True)(
+            params, tap, state.pool.alive, cameras, n_cams, stage,
+            active_sh_degree, hp, opt, pipe, state.aabb, bg, cfg,
+            use_custom_vjp)
+    pgrads, tap_grad = grads
+    new_state = apply_param_update(state, params, pgrads, tap_grad, loss,
+                                   aux["radii"], aux["visible"], opt,
+                                   spatial_lr_scale)
+    return new_state, aux
+
+
+train_step_multicam = functools.partial(jax.jit, static_argnames=(
+    "n_cams", "stage", "hp", "opt", "pipe", "cfg",
+    "spatial_lr_scale", "use_custom_vjp"))(_train_step_multicam_impl)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "n_cams", "stage", "hp", "opt", "pipe", "cfg",
+    "spatial_lr_scale", "use_custom_vjp"))
+def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
+                              n_cams: int, stage: str, active_sh_degree,
+                              hp: ModelHiddenParams, opt: OptimizationParams,
+                              pipe: PipelineParams, cfg: RasterConfig,
+                              spatial_lr_scale: float, bg: jnp.ndarray,
+                              use_custom_vjp: bool = True):
+    """Scanned multicam steps: ``camera_blocks`` leaves are [steps, B, ...]
+    (stack_cameras of per-step stack_cameras batches)."""
+
+    def body(s, cams):
+        s2, aux = _train_step_multicam_impl(
+            s, cams, n_cams, stage, active_sh_degree, hp, opt, pipe, cfg,
+            spatial_lr_scale, bg, use_custom_vjp)
+        small = {"metrics": aux["metrics"],
+                 "n_pairs": aux["n_pairs"],
+                 "overflow_rect": aux["overflow_rect"],
+                 "overflow_visible": aux["overflow_visible"],
+                 "overflow_pairs": aux["overflow_pairs"]}
+        return s2, small
+
+    return jax.lax.scan(body, state, camera_blocks)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -27,7 +27,7 @@ import pytest  # noqa: E402
 
 HEAVY_MODULES = {
     "test_cli_e2e", "test_cli_parallel", "test_parallel", "test_train_e2e",
-    "test_rasterize_grads", "test_cull_before_deform",
+    "test_rasterize_grads", "test_cull_before_deform", "test_multicam",
 }
 HEAVY_TESTS = {
     ("test_rasterize_forward", "test_nonsquare_image_and_odd_size"),

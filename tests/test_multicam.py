@@ -1,0 +1,173 @@
+"""Same-timestep multi-camera batching (train_step_multicam).
+
+The multicam step evaluates the deformation field once per optimizer step
+and rasterizes each camera of the batch against it — the TPU-shaped analog
+of the reference's batch_size>1 camera loop (train.py:328-360, 362-431):
+losses pool over the stacked batch (torch.cat semantics), radii reduce by
+elementwise max, visibility by any, and the shared screen-gradient tap
+accumulates every camera's contribution (:435-437).
+
+Checks: (a) B=1 multicam == the single-camera loss/grads exactly;
+(b) B=2 loss and gradients equal the mean over per-camera losses (the
+cat-of-equal-shapes identity); (c) the step descends; (d) the scanned
+block matches step-by-step; (e) the union cull path is output-invariant.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from s3gaussian_tpu.config import OptimizationParams, RasterConfig
+from s3gaussian_tpu.data.cameras import Camera, stack_cameras
+from s3gaussian_tpu.ops.transforms import projection_matrix
+from s3gaussian_tpu.train.trainer import (compute_loss, compute_loss_multicam,
+                                          train_step, train_step_multicam,
+                                          train_steps_scan_multicam)
+
+import test_train_e2e as helpers
+
+W = H = helpers.W
+CFG = helpers.CFG
+
+
+def shifted_camera(camera: Camera, dx: float, time=None) -> Camera:
+    """A copy of ``camera`` whose view is translated by ``dx`` along x."""
+    view = np.asarray(camera.world_view).copy()
+    view[3, 0] += dx
+    proj = projection_matrix(0.01, 100.0, float(camera.fovx),
+                             float(camera.fovy))
+    full = view @ np.asarray(proj).T
+    import dataclasses
+    return dataclasses.replace(
+        camera, world_view=jnp.asarray(view), full_proj=jnp.asarray(full),
+        campos=jnp.asarray([-view[3, 0], -view[3, 1], -view[3, 2]]),
+        time=camera.time if time is None else jnp.asarray(time, jnp.float32))
+
+
+def _loss_and_grads(fn, *args):
+    (loss, aux), grads = jax.value_and_grad(fn, argnums=(0, 1),
+                                            has_aux=True)(*args)
+    return loss, aux, grads
+
+
+def test_multicam_b1_matches_single():
+    state, camera, hp, pipe, bg = helpers.setup(seed=0)
+    opt = OptimizationParams()
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    loss1, aux1, g1 = _loss_and_grads(
+        compute_loss, params, tap, state.pool.alive, camera, "fine", 0,
+        hp, opt, pipe, state.aabb, bg, CFG)
+    lossB, auxB, gB = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive,
+        stack_cameras([camera]), 1, "fine", 0, hp, opt, pipe, state.aabb,
+        bg, CFG)
+
+    assert np.allclose(float(loss1), float(lossB), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(gB)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7, err_msg=str(pa))
+    np.testing.assert_array_equal(np.asarray(aux1["radii"]),
+                                  np.asarray(auxB["radii"]))
+
+
+def test_multicam_b2_is_mean_of_per_camera():
+    state, camera, hp, pipe, bg = helpers.setup(seed=1)
+    opt = OptimizationParams()
+    opt.lambda_depth = 0.0  # masked-pool vs per-cam mean differ otherwise
+    cam2 = shifted_camera(camera, 0.25)
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    lA, auxA, gA = _loss_and_grads(
+        compute_loss, params, tap, state.pool.alive, camera, "fine", 0,
+        hp, opt, pipe, state.aabb, bg, CFG)
+    lB, auxB, gB = _loss_and_grads(
+        compute_loss, params, tap, state.pool.alive, cam2, "fine", 0,
+        hp, opt, pipe, state.aabb, bg, CFG)
+    lM, auxM, gM = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive,
+        stack_cameras([camera, cam2]), 2, "fine", 0, hp, opt, pipe,
+        state.aabb, bg, CFG)
+
+    # the deformation terms (dx/dshs/reg) are identical per camera, so the
+    # pooled loss equals the mean of the two per-camera losses
+    assert np.allclose(float(lM), 0.5 * (float(lA) + float(lB)), rtol=1e-5)
+    mean_g = jax.tree_util.tree_map(lambda a, b: 0.5 * (a + b), gA, gB)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(mean_g),
+            jax.tree_util.tree_leaves_with_path(gM)):
+        # identical math, different accumulation order; the hexplane grid
+        # computes in bf16 (hp.grid_compute_bf16) so the floor is a bf16
+        # ulp of the accumulated magnitudes, not an f32 one
+        scale = max(float(jnp.abs(a).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=max(3e-5 * scale, 1e-5),
+                                   err_msg=str(pa))
+    # reference reductions: radii = max, visible = any (train.py:489-492)
+    np.testing.assert_array_equal(
+        np.asarray(auxM["radii"]),
+        np.maximum(np.asarray(auxA["radii"]), np.asarray(auxB["radii"])))
+    np.testing.assert_array_equal(
+        np.asarray(auxM["visible"]),
+        np.asarray(auxA["visible"]) | np.asarray(auxB["visible"]))
+
+
+def test_multicam_step_descends():
+    state, camera, hp, pipe, bg = helpers.setup(seed=2)
+    opt = OptimizationParams()
+    batch = stack_cameras([camera, shifted_camera(camera, 0.15)])
+    losses = []
+    for _ in range(12):
+        state, aux = train_step_multicam(state, batch, 2, "fine", 0, hp,
+                                         opt, pipe, CFG, 1.0, bg)
+        losses.append(float(aux["metrics"]["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert int(state.nan_skips) == 0
+
+
+def test_multicam_scan_matches_stepwise():
+    state, camera, hp, pipe, bg = helpers.setup(seed=3)
+    opt = OptimizationParams()
+    batch = stack_cameras([camera, shifted_camera(camera, 0.15)])
+    blocks = stack_cameras([batch, batch, batch])
+
+    s_scan, aux = train_steps_scan_multicam(state, blocks, 2, "fine", 0,
+                                            hp, opt, pipe, CFG, 1.0, bg)
+    s_step = state
+    for _ in range(3):
+        s_step, _ = train_step_multicam(s_step, batch, 2, "fine", 0, hp,
+                                        opt, pipe, CFG, 1.0, bg)
+    np.testing.assert_allclose(np.asarray(s_scan.pool.xyz),
+                               np.asarray(s_step.pool.xyz), rtol=1e-5,
+                               atol=1e-7)
+    assert aux["metrics"]["loss"].shape == (3,)
+
+
+def test_multicam_union_cull_is_output_invariant():
+    import dataclasses
+    state, camera, hp, pipe, bg = helpers.setup(seed=4)
+    opt = OptimizationParams()
+    batch = stack_cameras([camera, shifted_camera(camera, 0.3)])
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    cfg_cull = dataclasses.replace(CFG, cull_before_deform=True,
+                                   max_visible=state.pool.capacity,
+                                   cull_margin_px=48.0)
+    l0, aux0, g0 = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, batch, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, CFG)
+    l1, aux1, g1 = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, batch, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, cfg_cull)
+    assert np.allclose(float(l0), float(l1), rtol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
+                                   atol=2e-6, err_msg=str(pa))

@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 
-def auto_max_visible(points, cams, capacity, growth=2.0, lane=2048):
+def auto_max_visible(points, cams, capacity, growth=2.0, lane=2048,
+                     group_by_frame=False):
     """Size the render budget NR from the scene's init cloud.
 
     ``--max_visible 0`` resolves to ``growth``× the largest per-camera
@@ -33,9 +34,14 @@ def auto_max_visible(points, cams, capacity, growth=2.0, lane=2048):
     The 2× headroom covers densification growth and the ±32 px cull margin.
     Visibility matches the projector's cull (ops/project.py:154-156):
     depth > 0.2 with the 1.3·tan(FOV/2) clamp treated as the frustum edge.
+
+    With ``group_by_frame`` (the multicam path) the budget covers the UNION
+    of the frustums of each frame's camera rig, since one compaction serves
+    all of a frame's views (render_multicam).
     """
     pts = np.ascontiguousarray(np.asarray(points, np.float32))
     best = 0
+    union = {}
     for cam in cams:
         view = np.asarray(cam.world_view, np.float32)
         p = pts @ view[:3, :3] + view[3, :3]
@@ -43,7 +49,13 @@ def auto_max_visible(points, cams, capacity, growth=2.0, lane=2048):
         tx = 1.3 * np.tan(0.5 * float(cam.fovx))
         ty = 1.3 * np.tan(0.5 * float(cam.fovy))
         vis = (z > 0.2) & (np.abs(p[:, 0]) < tx * z) & (np.abs(p[:, 1]) < ty * z)
-        best = max(best, int(vis.sum()))
+        if group_by_frame:
+            k = int(cam.frame_idx)
+            union[k] = vis if k not in union else (union[k] | vis)
+        else:
+            best = max(best, int(vis.sum()))
+    if group_by_frame:
+        best = max(int(v.sum()) for v in union.values())
     nr = int(np.ceil(growth * best / lane)) * lane
     return max(lane, min(nr, capacity))
 
@@ -72,6 +84,10 @@ def main(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=10,
                         help="scan up to N plain train steps per device "
                              "dispatch (1 = step-by-step)")
+    parser.add_argument("--multicam", type=int, default=0,
+                        help="batch N same-timestep cameras per optimizer "
+                             "step (one deformation eval per step; the "
+                             "Waymo 3-camera rig => 3). 0/1 = off")
     args = parser.parse_args(argv)
 
     model = extract_group(ModelParams, args)
@@ -124,7 +140,8 @@ def main(argv=None):
     if cfg.max_visible == 0:
         cfg.max_visible = auto_max_visible(
             scene.info.points, scene.get_train_cameras(),
-            int(scene.pool.xyz.shape[0]))
+            int(scene.pool.xyz.shape[0]),
+            group_by_frame=args.multicam > 1)
         print(f"auto-sized max_visible = {cfg.max_visible}")
 
     start_stage, start_iter = "coarse", 0
@@ -186,6 +203,30 @@ def main(argv=None):
                 stack = list(range(len(cams)))
                 random.shuffle(stack)
             return cams[stack.pop()]
+
+        # same-timestep camera groups for --multicam (one deformation eval
+        # per optimizer step; reference batch loop train.py:328-360 analog)
+        mc = max(int(args.multicam), 0)
+        use_multicam = mc > 1 and not use_parallel
+        if use_multicam:
+            from s3gaussian_tpu.data.cameras import stack_cameras as _stack_mc
+            from s3gaussian_tpu.train.trainer import (
+                train_step_multicam, train_steps_scan_multicam)
+            by_time = {}
+            for i, c in enumerate(cams):
+                by_time.setdefault(round(float(c.time), 6), []).append(i)
+            groups = list(by_time.values())
+            gstack = []
+
+            def pop_group():
+                nonlocal gstack
+                if not gstack:
+                    gstack = list(range(len(groups)))
+                    random.shuffle(gstack)
+                g = groups[gstack.pop()]
+                idx = (random.sample(g, mc) if len(g) >= mc
+                       else random.choices(g, k=mc))
+                return _stack_mc([cams[i] for i in idx])
 
         def event_after(i):
             """Host work runs after step i (log/densify/reset/ckpt/eval) —
@@ -258,7 +299,23 @@ def main(argv=None):
                                         for j in range(spd - 1))
                             and not any((iteration + j) % 1000 == 0
                                         for j in range(1, spd)))
-                if block_ok:
+                if use_multicam:
+                    if block_ok:
+                        from s3gaussian_tpu.data.cameras import \
+                            stack_cameras as _stack
+                        block = _stack([pop_group() for _ in range(spd)])
+                        state, aux = train_steps_scan_multicam(
+                            state, block, mc, stage, active_sh, hyper, opt,
+                            pipe, cfg, scene.cameras_extent, bg)
+                        aux = jax.tree_util.tree_map(lambda x: x[-1], aux)
+                        n_done += spd
+                        iteration += spd - 1
+                    else:
+                        state, aux = train_step_multicam(
+                            state, pop_group(), mc, stage, active_sh, hyper,
+                            opt, pipe, cfg, scene.cameras_extent, bg)
+                        n_done += 1
+                elif block_ok:
                     from s3gaussian_tpu.data.cameras import stack_cameras \
                         as _stack
                     block = _stack([pop_cam() for _ in range(spd)])
