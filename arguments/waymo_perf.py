@@ -8,3 +8,11 @@ RasterConfig = dict(
     cull_before_deform=True,
     max_visible=0,
 )
+
+# One optimizer step batches the 3-camera rig of a frame against a single
+# deformation evaluation (one hexplane backward scatter per step instead
+# of three) — same loss/densify semantics as the reference's batch loop
+# (PARITY.md 12a; A/B in BASELINE.md r3).
+OptimizationParams = dict(
+    multicam=3,
+)

@@ -93,6 +93,11 @@ class OptimizationParams:
 
     vis_step: int = 2000
     batch_size: int = 1
+    # TPU-build extension (not in the reference): batch the N same-timestep
+    # cameras of a frame rig into one optimizer step with a single shared
+    # deformation evaluation (render_multicam).  0/1 = off.  Orthogonal to
+    # batch_size (which maps to multi-device data parallelism).
+    multicam: int = 0
 
     iterations: int = 50_000
     coarse_iterations: int = 5000

@@ -44,6 +44,37 @@ def test_train_cli_smoke(tmp_path):
     assert any(d.startswith("chkpnt_") for d in os.listdir(out))
 
 
+def test_train_cli_multicam_smoke(tmp_path):
+    """--multicam 3 batches each frame's 3-camera rig into one optimizer
+    step (scan + single-step dispatch paths both exercised)."""
+    from waymo_fixture import make_fixture
+    src = make_fixture(str(tmp_path / "clip"), n_frames=3)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import train as train_cli
+
+    train_cli.main([
+        "-s", src, "--model_path", out, "--num_pts", "400",
+        "--coarse_iterations", "4", "--iterations", "8",
+        "--densification_interval", "4", "--densify_from_iter", "2",
+        "--opacity_reset_interval", "1000",
+        "--checkpoint_iterations", "8",
+        "--bench_iters", "4", "--multicam", "3",
+        "--steps_per_dispatch", "2",
+        "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
+        "--chunk", "32", "--max_pairs_per_tile", "512",
+        "--load_h", "64", "--load_w", "96",
+        "--configs", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "tiny_config.py"),
+    ])
+
+    with open(os.path.join(out, "logger.json")) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    loss_lines = [l for l in lines if "Loss" in l]
+    assert loss_lines and all(np.isfinite(l["Loss"]) for l in loss_lines)
+
+
 def test_eval_only_smoke(tmp_path, monkeypatch):
     from waymo_fixture import make_fixture
     src = make_fixture(str(tmp_path / "clip"), n_frames=3)

@@ -84,10 +84,6 @@ def main(argv=None):
     parser.add_argument("--steps_per_dispatch", type=int, default=10,
                         help="scan up to N plain train steps per device "
                              "dispatch (1 = step-by-step)")
-    parser.add_argument("--multicam", type=int, default=0,
-                        help="batch N same-timestep cameras per optimizer "
-                             "step (one deformation eval per step; the "
-                             "Waymo 3-camera rig => 3). 0/1 = off")
     args = parser.parse_args(argv)
 
     model = extract_group(ModelParams, args)
@@ -108,6 +104,19 @@ def main(argv=None):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     import jax.numpy as jnp
 
+    # multi-host: no-op single-process; on a pod slice (or with
+    # S3G_COORDINATOR/S3G_NUM_PROCESSES/S3G_PROCESS_ID set) this joins the
+    # distributed runtime so jax.devices() spans every host and the DP
+    # mesh below becomes process-spanning (parallel/multihost.py)
+    from s3gaussian_tpu.parallel.multihost import (init_multihost,
+                                                   is_primary,
+                                                   local_batch_slice,
+                                                   sync_hosts)
+    proc_id, n_proc = init_multihost()
+    if n_proc > 1:
+        print(f"multihost: process {proc_id}/{n_proc}, "
+              f"{jax.device_count()} global devices")
+
     from s3gaussian_tpu.data.scene import load_scene
     from s3gaussian_tpu.eval.video import do_evaluation
     from s3gaussian_tpu.models.deformation import init_deformation
@@ -120,8 +129,9 @@ def main(argv=None):
     if not model.model_path:
         model.model_path = os.path.join("./output", args.expname)
     os.makedirs(model.model_path, exist_ok=True)
-    with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
-        f.write(repr(vars(args)))
+    if is_primary():
+        with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
+            f.write(repr(vars(args)))
 
     print(f"Loading scene from {model.source_path}")
     scene = load_scene(model)
@@ -130,8 +140,10 @@ def main(argv=None):
           f"{len(scene.get_test_cameras())} test cams, "
           f"extent {scene.cameras_extent:.2f}")
     from s3gaussian_tpu.data.cameras import write_cameras_json
-    write_cameras_json(os.path.join(model.model_path, "cameras.json"),
-                       scene.get_test_cameras(), scene.get_train_cameras())
+    if is_primary():
+        write_cameras_json(os.path.join(model.model_path, "cameras.json"),
+                           scene.get_test_cameras(),
+                           scene.get_train_cameras())
 
     deform = init_deformation(jax.random.PRNGKey(args.seed), hyper)
     state = init_state(scene.pool, deform, scene.aabb)
@@ -141,7 +153,7 @@ def main(argv=None):
         cfg.max_visible = auto_max_visible(
             scene.info.points, scene.get_train_cameras(),
             int(scene.pool.xyz.shape[0]),
-            group_by_frame=args.multicam > 1)
+            group_by_frame=opt.multicam > 1)
         print(f"auto-sized max_visible = {cfg.max_visible}")
 
     start_stage, start_iter = "coarse", 0
@@ -158,7 +170,8 @@ def main(argv=None):
         return do_evaluation(
             scene.get_train_cameras(), scene.get_test_cameras(),
             scene.get_full_cameras(), st.pool, st.deform, hyper, pipe,
-            bg, st.aabb, model.sh_degree, stage, cfg, eval_dir, step=step)
+            bg, st.aabb, model.sh_degree, stage, cfg, eval_dir, step=step,
+            write=is_primary())
 
     if args.eval_only:
         res = evaluate("fine", int(state.step))
@@ -167,7 +180,9 @@ def main(argv=None):
 
     # multi-device camera-batch data parallelism (batch_size > 1 with a
     # device mesh; the reference's train.py:328-360 batch loop, SURVEY §5.8)
-    n_dev = jax.local_device_count()
+    # — batch_size counts GLOBAL devices, so the same flag scales from one
+    # chip to a multi-host pod (every process runs this same script)
+    n_dev = jax.device_count()
     use_parallel = opt.batch_size > 1 and n_dev >= opt.batch_size
     if opt.batch_size > 1 and not use_parallel:
         print(f"batch_size={opt.batch_size} needs >= that many devices "
@@ -193,10 +208,14 @@ def main(argv=None):
             from s3gaussian_tpu.data.cameras import stack_cameras
             from s3gaussian_tpu.parallel.data_parallel import (
                 make_mesh, make_parallel_train_step,
-                make_parallel_train_steps_scan, replicate_state,
-                shard_camera_batch, shard_camera_blocks)
+                make_parallel_train_steps_scan, replicate_state)
+            from s3gaussian_tpu.parallel.multihost import (
+                host_local_camera_batch, host_local_camera_blocks)
             mesh = make_mesh(opt.batch_size)
             state = replicate_state(state, mesh)
+            # every process pops the SAME camera sequence (identical seed)
+            # and materializes only its slice of the global batch
+            b_lo, b_hi = local_batch_slice(opt.batch_size)
         def pop_cam():
             nonlocal stack
             if not stack:
@@ -206,7 +225,7 @@ def main(argv=None):
 
         # same-timestep camera groups for --multicam (one deformation eval
         # per optimizer step; reference batch loop train.py:328-360 analog)
-        mc = max(int(args.multicam), 0)
+        mc = max(int(opt.multicam), 0)
         use_multicam = mc > 1 and not use_parallel
         if use_multicam:
             from s3gaussian_tpu.data.cameras import stack_cameras as _stack_mc
@@ -271,15 +290,18 @@ def main(argv=None):
                             scene.cameras_extent)
                     blocks = stack_cameras(
                         [stack_cameras([pop_cam()
-                                        for _ in range(opt.batch_size)])
+                                        for _ in range(opt.batch_size)
+                                        ][b_lo:b_hi])
                          for _ in range(spd)])
                     state, aux = par_scan(
-                        state, shard_camera_blocks(blocks, mesh), sh_t, bg)
+                        state, host_local_camera_blocks(blocks, mesh),
+                        sh_t, bg)
                     aux = jax.tree_util.tree_map(lambda x: x[-1], aux)
                     n_done += spd
                     iteration += spd - 1
                 else:
-                    batch = [pop_cam() for _ in range(opt.batch_size)]
+                    batch = [pop_cam() for _ in range(opt.batch_size)
+                             ][b_lo:b_hi]
                     if par_step is None:
                         # active_sh is a traced operand (like the scan
                         # path): one compile covers the whole
@@ -288,8 +310,8 @@ def main(argv=None):
                             mesh, stage, hyper, opt, pipe, cfg,
                             scene.cameras_extent)
                     state, aux = par_step(
-                        state, shard_camera_batch(stack_cameras(batch),
-                                                  mesh), sh_t, bg)
+                        state, host_local_camera_batch(stack_cameras(batch),
+                                                       mesh), sh_t, bg)
                     n_done += 1
             else:
                 # scan a full block of plain steps in one dispatch when no
@@ -345,12 +367,14 @@ def main(argv=None):
                          "nan_skips": int(state.nan_skips),
                          "it_per_s": round(n_done / (time.time() - t_start), 3)}
                 print(entry)
-                with open(logger_path, "a") as f:
-                    json.dump(entry, f)
-                    f.write("\n")
+                if is_primary():
+                    with open(logger_path, "a") as f:
+                        json.dump(entry, f)
+                        f.write("\n")
 
-            # training snapshots (train.py:477-487 cadence)
-            if model.render_process and not args.bench_iters:
+            # training snapshots (train.py:477-487 cadence); single-
+            # process only — in multihost runs snapshots are skipped
+            if model.render_process and not args.bench_iters and n_proc == 1:
                 if ((iteration < 10000 and iteration % 1000 == 999)
                         or (iteration < 30000 and iteration % 2000 == 1999)
                         or (iteration % 3000 == 2999)):
@@ -384,20 +408,25 @@ def main(argv=None):
                     dentry = {"step": iteration, "stage": stage,
                               "densify": {k: int(v) for k, v in
                                           info.items()}}
-                    with open(logger_path, "a") as f:
-                        json.dump(dentry, f)
-                        f.write("\n")
+                    if is_primary():
+                        with open(logger_path, "a") as f:
+                            json.dump(dentry, f)
+                            f.write("\n")
                 if iteration % opt.opacity_reset_interval == 0:
                     print("reset opacity")
                     state = opacity_reset_step(state)
-                    with open(logger_path, "a") as f:
-                        json.dump({"step": iteration, "stage": stage,
-                                   "opacity_reset": True}, f)
-                        f.write("\n")
+                    if is_primary():
+                        with open(logger_path, "a") as f:
+                            json.dump({"step": iteration, "stage": stage,
+                                       "opacity_reset": True}, f)
+                            f.write("\n")
 
             if iteration in args.checkpoint_iterations:
                 print(f"[ITER {iteration}] saving checkpoint")
-                ckpt.save_checkpoint(model.model_path, stage, iteration, state)
+                if is_primary():
+                    ckpt.save_checkpoint(model.model_path, stage, iteration,
+                                         state)
+                sync_hosts("ckpt")
 
             # mid-training full evaluation (reference train.py:533-551)
             if iteration == 30000 and not args.bench_iters:
@@ -415,8 +444,10 @@ def main(argv=None):
         state = scene_reconstruction(state, "coarse", max(start_iter, 0) + 1
                                      if start_iter else 1,
                                      opt.coarse_iterations)
-        ckpt.save_checkpoint(model.model_path, "coarse",
-                             opt.coarse_iterations, state)
+        if is_primary():
+            ckpt.save_checkpoint(model.model_path, "coarse",
+                                 opt.coarse_iterations, state)
+        sync_hosts("ckpt_coarse")
         start_iter = 0
 
     # cross-clip warm start (train.py:611-624)
@@ -427,10 +458,12 @@ def main(argv=None):
     # stage 2: fine (dynamic)
     state = scene_reconstruction(state, "fine", start_iter + 1,
                                  opt.iterations)
-    ckpt.save_checkpoint(model.model_path, "fine", opt.iterations, state)
-    ckpt.save_ply_pool(os.path.join(
-        model.model_path, "point_cloud",
-        f"iteration_{opt.iterations}", "point_cloud.ply"), state.pool)
+    if is_primary():
+        ckpt.save_checkpoint(model.model_path, "fine", opt.iterations, state)
+        ckpt.save_ply_pool(os.path.join(
+            model.model_path, "point_cloud",
+            f"iteration_{opt.iterations}", "point_cloud.ply"), state.pool)
+    sync_hosts("ckpt_fine")
 
     if not args.bench_iters:
         res = evaluate("fine", int(state.step))
