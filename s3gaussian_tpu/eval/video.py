@@ -112,6 +112,60 @@ def _jit_render(hp, pipe, cfg, stage, sh_deg, decomp, want_dx,
     return f
 
 
+@functools.lru_cache(maxsize=8)
+def _jit_render_mc(hp, pipe, cfg, stage, sh_deg, decomp, n_cams,
+                   with_metrics=False):
+    """Grouped same-timestep render program: ONE deformation evaluation
+    serves the n_cams views of a frame (render_multicam), with per-camera
+    on-device metrics — the eval-sweep analog of --multicam. The sweep
+    calls this once per FRAME instead of once per camera, cutting the
+    hexplane+MLP forward (the per-render fixed cost) to 1/n_cams."""
+    from s3gaussian_tpu.eval.metrics import (masked_psnr, masked_ssim_jnp,
+                                             psnr, ssim_skimage_jnp)
+    from s3gaussian_tpu.render.renderer import render_multicam
+    try:
+        from s3gaussian_tpu.eval.lpips_jax import _load_weights, lpips_jnp
+        _load_weights("alex")
+        have_lpips = True
+    except FileNotFoundError:
+        have_lpips = False
+
+    @jax.jit
+    def f(cams, pool, deform, bg, aabb):
+        pkg = render_multicam(cams, n_cams, pool, deform, hp, pipe, bg,
+                              aabb, sh_deg, stage=stage,
+                              return_decomposition=decomp, cfg=cfg)
+        out = dict(pkg)
+        if with_metrics:
+            mets: Dict[str, list] = {}
+
+            def put(k, v):
+                mets.setdefault(k, []).append(v)
+
+            for b in range(n_cams):
+                rgbf = jnp.clip(pkg["render"][b], 0.0, 1.0).transpose(1, 2, 0)
+                img = cams.image[b]
+                put("psnr", psnr(rgbf, img))
+                put("ssim", ssim_skimage_jnp(rgbf, img))
+                if have_lpips:
+                    put("lpips", lpips_jnp(rgbf, img))
+                if cams.dynamic_mask is not None:
+                    m = cams.dynamic_mask[b]
+                    put("mask_any", jnp.any(m))
+                    put("masked_psnr", masked_psnr(rgbf, img, m))
+                    put("masked_ssim", masked_ssim_jnp(rgbf, img, m))
+            out["metrics"] = {k: jnp.stack(v) for k, v in mets.items()}
+        for k in ("render", "render_d", "render_s"):
+            if out.get(k) is not None:
+                out[k] = jax.vmap(_to8b_dev)(out[k])
+        for k in ("radii", "visibility_filter", "alive_work", "raster_aux",
+                  "depth_d", "depth_s", "dynamic_mask", "dshs"):
+            out.pop(k, None)
+        return out
+
+    return f
+
+
 def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
                   active_sh_degree, stage: str, cfg,
                   compute_metrics: bool = True,
@@ -130,15 +184,50 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
     dx_per_cam = []
 
     import dataclasses
-    rfn = _jit_render(hp, pipe, cfg, stage, active_sh_degree,
-                      return_decomposition, "fine" in stage, False,
-                      with_metrics=compute_metrics)
+
+    def _prep(cam):
+        cam_in = _slim(cam)
+        if compute_metrics:
+            # metrics run on device from the f32 render; the GT image and
+            # dynamic mask ride along (everything else stays stripped)
+            cam_in = dataclasses.replace(cam_in, image=cam.image,
+                                         dynamic_mask=cam.dynamic_mask)
+        return cam_in
+
+    # same-timestep frame groups: when the split is frame-major rigs of
+    # num_cams views sharing one time (the Waymo layout), render each rig
+    # with ONE shared deformation evaluation (_jit_render_mc)
+    groups = None
+    if num_cams > 1 and len(cameras) >= num_cams \
+            and len(cameras) % num_cams == 0:
+        cand = [cameras[i:i + num_cams]
+                for i in range(0, len(cameras), num_cams)]
+        if all(abs(float(c.time) - float(g[0].time)) < 1e-9
+               for g in cand for c in g[1:]):
+            masks_uniform = all(
+                (c.dynamic_mask is None) == (cameras[0].dynamic_mask is None)
+                for c in cameras)
+            if masks_uniform:
+                groups = cand
+
     # dispatch-ahead window: downloading frame i forces a device sync, so
     # the NEXT frame's render must already be enqueued or the sweep
     # serializes compute behind transfers (advisor r2).  A window of 2
     # keeps one render in flight while bounding on-device frame buffers.
     from collections import deque
     pending: deque = deque()
+
+    def _append_metrics(met, b=None):
+        def pick(key):
+            return met[key] if b is None else met[key][b]
+
+        metrics["psnr"].append(float(pick("psnr")))
+        metrics["ssim"].append(float(pick("ssim")))
+        metrics["lpips"].append(float(pick("lpips"))
+                                if "lpips" in met else None)
+        if "mask_any" in met and bool(pick("mask_any")):
+            metrics["masked_psnr"].append(float(pick("masked_psnr")))
+            metrics["masked_ssim"].append(float(pick("masked_ssim")))
 
     def _drain_one():
         cam, pkg = pending.popleft()
@@ -156,27 +245,53 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
         dx_per_cam.append(None if pkg.get("dx") is None
                           else np.asarray(pkg["dx"]))
         if compute_metrics:
-            met = jax.device_get(pkg["metrics"])
-            metrics["psnr"].append(float(met["psnr"]))
-            metrics["ssim"].append(float(met["ssim"]))
-            metrics["lpips"].append(float(met["lpips"])
-                                    if "lpips" in met else None)
-            if "mask_any" in met and bool(met["mask_any"]):
-                metrics["masked_psnr"].append(float(met["masked_psnr"]))
-                metrics["masked_ssim"].append(float(met["masked_ssim"]))
+            _append_metrics(jax.device_get(pkg["metrics"]))
 
-    for cam in cameras:
-        cam_in = _slim(cam)
-        if compute_metrics:
-            # metrics run on device from the f32 render; the GT image and
-            # dynamic mask ride along (everything else stays stripped)
-            cam_in = dataclasses.replace(cam_in, image=cam.image,
-                                         dynamic_mask=cam.dynamic_mask)
-        pending.append((cam, rfn(cam_in, pool, deform, bg, aabb)))
-        if len(pending) >= 2:
+    def _drain_group():
+        g, pkg = pending.popleft()
+        renders = np.asarray(pkg["render"]).astype(np.float32) / 255.0
+        depths_np = np.asarray(pkg["depth"])
+        rd = rs = None
+        if return_decomposition and "render_d" in pkg:
+            rd = np.asarray(pkg["render_d"]).astype(np.float32) / 255.0
+            rs = np.asarray(pkg["render_s"]).astype(np.float32) / 255.0
+        dxs = None if pkg.get("dx") is None else np.asarray(pkg["dx"])
+        met = jax.device_get(pkg["metrics"]) if compute_metrics else None
+        for b, cam in enumerate(g):
+            out["rgbs"].append(renders[b])
+            out["gt_rgbs"].append(np.asarray(cam.image))
+            out["depths"].append(depths_np[b])
+            if rd is not None:
+                out["dynamic_rgbs"].append(rd[b])
+                out["static_rgbs"].append(rs[b])
+            # one shared deformation per frame: dx is identical for the
+            # rig's cameras (same t), as in the per-camera path
+            dx_per_cam.append(dxs)
+            if compute_metrics:
+                _append_metrics(met, b)
+
+    if groups is not None:
+        from s3gaussian_tpu.data.cameras import stack_cameras
+        mcfn = _jit_render_mc(hp, pipe, cfg, stage, active_sh_degree,
+                              return_decomposition and "fine" in stage,
+                              num_cams, with_metrics=compute_metrics)
+        for g in groups:
+            gin = stack_cameras([_prep(c) for c in g])
+            pending.append((g, mcfn(gin, pool, deform, bg, aabb)))
+            if len(pending) >= 2:
+                _drain_group()
+        while pending:
+            _drain_group()
+    else:
+        rfn = _jit_render(hp, pipe, cfg, stage, active_sh_degree,
+                          return_decomposition, "fine" in stage, False,
+                          with_metrics=compute_metrics)
+        for cam in cameras:
+            pending.append((cam, rfn(_prep(cam), pool, deform, bg, aabb)))
+            if len(pending) >= 2:
+                _drain_one()
+        while pending:
             _drain_one()
-    while pending:
-        _drain_one()
 
     # dynamic/static split PLY export keyed on |dx| at the reference's
     # probe view (video_utils.py:243-250 → gaussian_model.py:277-348)
@@ -257,9 +372,14 @@ def do_evaluation(train_cams, test_cams, full_cams, pool, deform, hp, pipe,
                   bg, aabb, active_sh_degree, stage, cfg, eval_dir: str,
                   step: int = 0, render_full: bool = True,
                   save_video: bool = True, num_cams: int = 3,
-                  save_separate_pcd: bool = False) -> Dict:
-    """train.py:61-215: per-split metric JSONs + videos."""
-    os.makedirs(os.path.join(eval_dir, "metrics"), exist_ok=True)
+                  save_separate_pcd: bool = False, write: bool = True) -> Dict:
+    """train.py:61-215: per-split metric JSONs + videos.
+
+    ``write=False`` computes everything but writes no files — in
+    multi-host runs every process must execute the (globally-sharded)
+    renders, but only process 0 owns the output directory."""
+    if write:
+        os.makedirs(os.path.join(eval_dir, "metrics"), exist_ok=True)
     results = {}
     splits = {"test": test_cams, "train": train_cams}
     if render_full:
@@ -271,10 +391,13 @@ def do_evaluation(train_cams, test_cams, full_cams, pool, deform, hp, pipe,
                                active_sh_degree, stage, cfg,
                                num_cams=num_cams,
                                save_separate_pcd=(save_separate_pcd
+                                                  and write
                                                   and split == "full"),
                                pcd_dir=os.path.join(eval_dir, "pcd"))
         metrics = frames.get("metrics", {})
         results[split] = metrics
+        if not write:
+            continue
         ts = time.strftime("%Y%m%d%H%M%S")
         with open(os.path.join(eval_dir, "metrics",
                                f"{step}_images_{split}_{ts}.json"), "w") as f:

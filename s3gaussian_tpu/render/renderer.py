@@ -199,6 +199,7 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
                     aabb: Optional[jnp.ndarray] = None,
                     active_sh_degree: int = 3, stage: str = "fine",
                     render_feat: bool = False,
+                    return_decomposition: bool = False,
                     mean2d_tap: Optional[jnp.ndarray] = None,
                     cfg: RasterConfig = RasterConfig(),
                     use_custom_vjp: bool = True) -> Dict[str, Any]:
@@ -232,7 +233,8 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
     work_vis0 = None
     fine = "fine" in stage
 
-    use_cull = cfg.cull_before_deform and fine
+    use_cull = (cfg.cull_before_deform and fine
+                and not return_decomposition)
     if use_cull:
         from s3gaussian_tpu.ops.compact import take_compact
         from s3gaussian_tpu.ops.project import build_cov3d, project_gaussians
@@ -354,4 +356,39 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
     }
     if feats:
         result["feat"] = jnp.stack(feats)
+
+    if return_decomposition and dx is not None:
+        # |dx| > mean split (gaussian_renderer/__init__.py:168-204),
+        # computed once from the shared deformation and re-rendered per
+        # camera (no cull in this mode, so dx is pool-shaped)
+        dx_abs = jnp.abs(dx)
+        mx = jnp.max(dx_abs, axis=1)
+        denom = jnp.maximum(jnp.sum(pool.alive), 1)
+        thr = jnp.sum(jnp.where(pool.alive, mx, 0.0)) / denom
+        dyn = (mx > thr) & pool.alive
+        rd, rs, dd, ds_ = [], [], [], []
+        for b in range(n_cams):
+            cam = index_camera(cameras, b)
+            settings = make_settings(cam, bg, active_sh_degree)
+            color_d, _, depth_d, _ = rasterize(
+                settings, xyz_f, op_act[:, 0], scales=scales_act,
+                rotations=rot_act,
+                shs=None if colors_list[b] is not None else shs_f,
+                colors_precomp=colors_list[b], alive=dyn, cfg=cfg,
+                use_custom_vjp=use_custom_vjp)
+            color_s, _, depth_s, _ = rasterize(
+                settings, xyz_f, op_act[:, 0], scales=scales_act,
+                rotations=rot_act,
+                shs=None if colors_list[b] is not None else shs_f,
+                colors_precomp=colors_list[b], alive=pool.alive & ~dyn,
+                cfg=cfg, use_custom_vjp=use_custom_vjp)
+            rd.append(color_d)
+            rs.append(color_s)
+            dd.append(depth_d)
+            ds_.append(depth_s)
+        result.update({
+            "render_d": jnp.stack(rd), "depth_d": jnp.stack(dd),
+            "render_s": jnp.stack(rs), "depth_s": jnp.stack(ds_),
+            "dynamic_mask": dyn,
+        })
     return result

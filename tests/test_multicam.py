@@ -148,6 +148,37 @@ def test_multicam_scan_matches_stepwise():
     assert aux["metrics"]["loss"].shape == (3,)
 
 
+def test_eval_grouped_sweep_matches_per_camera():
+    """render_pixels with same-timestep rigs takes the grouped
+    (shared-deformation) path; metrics and frames must match the
+    per-camera path."""
+    from s3gaussian_tpu.eval.video import render_pixels
+
+    state, camera, hp, pipe, bg = helpers.setup(seed=5)
+    import dataclasses
+    cam_b = shifted_camera(camera, 0.2)
+    # 2 frames x 2 cams, frame-major, same time within each frame
+    cams = [dataclasses.replace(camera, time=jnp.asarray(0.1, jnp.float32)),
+            dataclasses.replace(cam_b, time=jnp.asarray(0.1, jnp.float32)),
+            dataclasses.replace(camera, time=jnp.asarray(0.6, jnp.float32)),
+            dataclasses.replace(cam_b, time=jnp.asarray(0.6, jnp.float32))]
+
+    kw = dict(pool=state.pool, deform=state.deform, hp=hp, pipe=pipe, bg=bg,
+              aabb=state.aabb, active_sh_degree=0, stage="fine", cfg=CFG,
+              compute_metrics=True, return_decomposition=True)
+    grouped = render_pixels(cams, num_cams=2, **kw)
+    single = render_pixels(cams, num_cams=1, **kw)
+
+    for k in ("psnr", "ssim"):
+        np.testing.assert_allclose(grouped["metrics"][k],
+                                   single["metrics"][k], rtol=1e-4,
+                                   err_msg=k)
+    for k in ("rgbs", "depths", "dynamic_rgbs", "static_rgbs"):
+        assert len(grouped[k]) == len(single[k]) == 4, k
+        for a, b in zip(grouped[k], single[k]):
+            np.testing.assert_allclose(a, b, atol=5e-3, err_msg=k)
+
+
 def test_multicam_union_cull_is_output_invariant():
     import dataclasses
     state, camera, hp, pipe, bg = helpers.setup(seed=4)
