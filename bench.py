@@ -27,7 +27,7 @@ A100_REFERENCE_IT_PER_S = 10.0
 
 
 def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
-                 render_fps_too=True, multicam=0):
+                 render_fps_too=True, multicam=0, remat=False):
     """Build the synthetic fine-stage workload at ``n`` gaussians and
     measure scanned train-step throughput (+ optional render-only FPS).
     With ``multicam`` B>1, each optimizer step renders B same-timestep
@@ -61,6 +61,9 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
     pool = create_from_pcd(pts, cols, cap)
 
     hp = ModelHiddenParams()
+    # remat: required at the 1.5M cap on one 16 GB v5e — the stored
+    # deformation residuals alone exceed HBM (see config.remat_deform)
+    hp.remat_deform = bool(remat)
     opt = OptimizationParams()
     pipe = PipelineParams()
     cfg = RasterConfig(tile_x=16, tile_y=16, max_visible=cap,
@@ -253,7 +256,8 @@ def main():
             chunk=int(os.environ.get("BENCH_CHUNK", "128")),
             scan_n=int(os.environ.get("BENCH_SCAN", "10")),
             n_steps=int(os.environ.get("BENCH_STEPS", "20")),
-            render_fps_too=True)
+            render_fps_too=True,
+            remat=os.environ.get("BENCH_FULL_REMAT", "1") == "1")
         full["it_per_s_1p5m"] = full.pop("it_per_s")
         print(json.dumps({"detail_waymo_scale": full}), file=sys.stderr,
               flush=True)

@@ -206,6 +206,13 @@ class ModelHiddenParams:
     # params stay f32; the gradient scatter-adds — the single most expensive
     # part of the train step — run at half bandwidth).  No reference analog.
     grid_compute_bf16: bool = True
+    # TPU-only: rematerialize the deformation field in the backward pass
+    # (jax.checkpoint) instead of saving its per-point residuals — the 24
+    # gathered hexplane slices alone are ~N·32·24 floats (GBs at the 1.5M
+    # LiDAR cap), which OOMs a 16 GB chip; recomputing them costs one
+    # extra gather-bound forward.  No reference analog (torch autograd
+    # always stores).
+    remat_deform: bool = False
 
     _shorthand = ()
     __hash__ = object.__hash__

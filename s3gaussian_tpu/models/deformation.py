@@ -122,6 +122,24 @@ class DeformOut(NamedTuple):
     dshs: Optional[jnp.ndarray]
 
 
+def apply_deformation_ckpt(params: Dict[str, Any], hp: ModelHiddenParams,
+                           aabb: jnp.ndarray, xyz: jnp.ndarray,
+                           scales: jnp.ndarray, rotations: jnp.ndarray,
+                           opacity: jnp.ndarray, shs: jnp.ndarray,
+                           t: jnp.ndarray) -> "DeformOut":
+    """``apply_deformation``, rematerialized in the backward pass when
+    ``hp.remat_deform`` — the autodiff residuals of the field (24 gathered
+    hexplane slices of [N,32] each, the MLP hidden states, the per-head
+    outputs) dominate train-step memory at LiDAR-cap point counts; with
+    remat the backward recomputes the (gather-bound, MXU-light) forward
+    instead of storing them."""
+    if not hp.remat_deform:
+        return apply_deformation(params, hp, aabb, xyz, scales, rotations,
+                                 opacity, shs, t)
+    f = jax.checkpoint(apply_deformation, static_argnums=(1,))
+    return f(params, hp, aabb, xyz, scales, rotations, opacity, shs, t)
+
+
 def apply_deformation(params: Dict[str, Any], hp: ModelHiddenParams,
                       aabb: jnp.ndarray, xyz: jnp.ndarray,
                       scales: jnp.ndarray, rotations: jnp.ndarray,

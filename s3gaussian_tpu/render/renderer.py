@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from s3gaussian_tpu.config import ModelHiddenParams, PipelineParams, RasterConfig
 from s3gaussian_tpu.data.cameras import Camera
-from s3gaussian_tpu.models.deformation import apply_deformation
+from s3gaussian_tpu.models.deformation import apply_deformation_ckpt
 from s3gaussian_tpu.models.pool import GaussianPool
 from s3gaussian_tpu.ops.project import sh_to_color
 from s3gaussian_tpu.ops.rasterizer import RasterSettings, rasterize
@@ -105,8 +105,9 @@ def render(camera: Camera, pool: GaussianPool, deform_params: Optional[Dict],
         # scalar t: the hexplane takes the uniform-time fast path
         # (matmul grid gradients for the spatiotemporal planes)
         t = camera.time.reshape(())
-        out = apply_deformation(deform_params, hp, aabb, xyz, scaling_w,
-                                rotation_w, opacity_w, shs, t)
+        out = apply_deformation_ckpt(deform_params, hp, aabb, xyz,
+                                     scaling_w, rotation_w, opacity_w,
+                                     shs, t)
         xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,
                                                out.rotations, out.opacity,
                                                out.shs)
@@ -279,8 +280,9 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
                                                opacity_w, shs)
     elif fine:
         t = cameras.time[0].reshape(())  # shared timestep
-        out = apply_deformation(deform_params, hp, aabb, xyz, scaling_w,
-                                rotation_w, opacity_w, shs, t)
+        out = apply_deformation_ckpt(deform_params, hp, aabb, xyz,
+                                     scaling_w, rotation_w, opacity_w,
+                                     shs, t)
         xyz_f, scales_f, rot_f, op_f, shs_f = (out.xyz, out.scales,
                                                out.rotations, out.opacity,
                                                out.shs)

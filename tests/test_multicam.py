@@ -179,6 +179,34 @@ def test_eval_grouped_sweep_matches_per_camera():
             np.testing.assert_allclose(a, b, atol=5e-3, err_msg=k)
 
 
+def test_remat_deform_matches_stored_residuals():
+    """hp.remat_deform recomputes the deformation in the backward pass —
+    loss and every gradient must match the stored-residual path (same
+    math, only the autodiff schedule changes)."""
+    state, camera, hp, pipe, bg = helpers.setup(seed=6)
+    opt = OptimizationParams()
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    l0, _, g0 = _loss_and_grads(
+        compute_loss, params, tap, state.pool.alive, camera, "fine", 0,
+        hp, opt, pipe, state.aabb, bg, CFG)
+    hp_r = helpers.small_hp()
+    hp_r.remat_deform = True
+    l1, _, g1 = _loss_and_grads(
+        compute_loss, params, tap, state.pool.alive, camera, "fine", 0,
+        hp_r, opt, pipe, state.aabb, bg, CFG)
+
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        scale = max(float(jnp.abs(a).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-4,
+                                   atol=max(1e-5 * scale, 1e-6),
+                                   err_msg=str(pa))
+
+
 def test_multicam_union_cull_is_output_invariant():
     import dataclasses
     state, camera, hp, pipe, bg = helpers.setup(seed=4)
