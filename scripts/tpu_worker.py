@@ -43,7 +43,8 @@ def main():
             print(f"run {job}", flush=True)
             buf = io.StringIO()
             try:
-                with contextlib.redirect_stdout(buf):
+                with contextlib.redirect_stdout(buf), \
+                        contextlib.redirect_stderr(buf):
                     code = open(job).read()
                     exec(compile(code, job, "exec"), ns)
                 status = "OK"
