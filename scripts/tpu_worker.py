@@ -30,6 +30,11 @@ def main():
 
     t0 = time.time()
     import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.jax_cache_bench"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     _ = float(jax.device_put(jax.numpy.zeros(1))[0])
     print(f"worker ready on {jax.devices()} "
           f"(acquire {time.time()-t0:.1f}s)", flush=True)
