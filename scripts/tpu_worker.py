@@ -39,13 +39,16 @@ def main():
     print(f"worker ready on {jax.devices()} "
           f"(acquire {time.time()-t0:.1f}s)", flush=True)
 
-    ns = {"jax": jax}
     while True:
         for job in sorted(glob.glob(os.path.join(jobdir, "*.py"))):
             done = job + ".done"
             if os.path.exists(done):
                 continue
             print(f"run {job}", flush=True)
+            # fresh namespace per job: the old shared-namespace design let
+            # device buffers from earlier jobs (TrainStates, camera blocks)
+            # accumulate and shrink the budget of later ones
+            ns = {"jax": jax}
             buf = io.StringIO()
             try:
                 with contextlib.redirect_stdout(buf), \
@@ -56,11 +59,19 @@ def main():
             except BaseException:
                 buf.write(traceback.format_exc())
                 status = "ERR"
+            out_text = buf.getvalue()
             with open(job + ".out", "w") as f:
-                f.write(buf.getvalue())
+                f.write(out_text)
             with open(done, "w") as f:
                 f.write(status)
             print(f"  -> {status}", flush=True)
+            if "RESOURCE_EXHAUSTED" in out_text:
+                # a device OOM poisons the runtime: every later dispatch in
+                # this process fails. Re-exec for a clean session (pays one
+                # device re-acquisition) and continue the queue.
+                print("OOM detected - restarting worker process", flush=True)
+                os.execv(sys.executable,
+                         [sys.executable, os.path.abspath(__file__), jobdir])
         time.sleep(0.5)
 
 
