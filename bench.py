@@ -28,7 +28,8 @@ A100_REFERENCE_IT_PER_S = 10.0
 
 def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
                  render_fps_too=True, multicam=0, remat=False,
-                 scene="frustum", cull=False, max_visible=0):
+                 scene="frustum", cull=False, max_visible=0,
+                 serialize=False):
     """Build the synthetic fine-stage workload at ``n`` gaussians and
     measure scanned train-step throughput (+ optional render-only FPS).
     With ``multicam`` B>1, each optimizer step renders B same-timestep
@@ -82,7 +83,8 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
                        max_visible=max_visible or cap,
                        rect_w=4, rect_h=4, pair_budget=pair_budget,
                        chunk=chunk, big_budget=big_budget,
-                       cull_before_deform=cull)
+                       cull_before_deform=cull,
+                       multicam_serialize=serialize)
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
     state = init_state(pool, deform, aabb)

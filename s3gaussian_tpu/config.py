@@ -265,6 +265,13 @@ class RasterConfig:
     # beyond the budget render their core only (graceful clamp, counted
     # in overflow_rect).
     big_budget: int = 0
+    # multicam: force the per-camera rasterization pipelines of a
+    # render_multicam batch to execute SEQUENTIALLY (an optimization
+    # barrier ties camera b+1's inputs to camera b's output).  Without
+    # it XLA may overlap all B pair pipelines, multiplying peak pair-
+    # stream memory by B — fine at 200k, fatal at LiDAR-cap NR on a
+    # 16 GB chip.  Off = scheduler's choice.
+    multicam_serialize: bool = False
 
     __hash__ = object.__hash__
 

@@ -313,6 +313,11 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
     for b in range(n_cams):
         cam = index_camera(cameras, b)
         settings = make_settings(cam, bg, active_sh_degree)
+        if cfg.multicam_serialize and renders:
+            # order camera b's pipeline after camera b-1's output so XLA
+            # cannot keep B pair streams live at once (see RasterConfig)
+            xyz_f, _prev = jax.lax.optimization_barrier(
+                (xyz_f, renders[-1]))
         color, radii, depth, aux = rasterize(
             settings, xyz_f, op_act[:, 0], scales=scales_act,
             rotations=rot_act,
@@ -372,6 +377,9 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
         for b in range(n_cams):
             cam = index_camera(cameras, b)
             settings = make_settings(cam, bg, active_sh_degree)
+            if cfg.multicam_serialize and rd:
+                xyz_f, _prev = jax.lax.optimization_barrier(
+                    (xyz_f, rd[-1]))
             color_d, _, depth_d, _ = rasterize(
                 settings, xyz_f, op_act[:, 0], scales=scales_act,
                 rotations=rot_act,

@@ -314,9 +314,15 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
 # active_sh_degree is NOT static: the SH evaluation band-masks on a traced
 # degree (ops/sh.py:eval_sh_dynamic), so the oneupSHdegree schedule
 # (reference train.py:324-325) does not trigger 4 recompiles per stage.
+# donate_argnums=0: the caller always rebinds (state, aux = step(state,...)),
+# and aliasing the ~4x pool-sized TrainState into the outputs cuts peak HBM
+# by the full state size (decisive at the 1.5M LiDAR cap; AOT memory
+# analysis in BASELINE.md r3). CPU ignores donation, so tests that reuse a
+# state object after stepping still pass there.
 train_step = functools.partial(jax.jit, static_argnames=(
     "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"))(_train_step_impl)
+    "spatial_lr_scale", "use_custom_vjp"),
+    donate_argnums=(0,))(_train_step_impl)
 
 
 def _train_step_multicam_impl(state: TrainState, cameras: Camera,
@@ -344,12 +350,13 @@ def _train_step_multicam_impl(state: TrainState, cameras: Camera,
 
 train_step_multicam = functools.partial(jax.jit, static_argnames=(
     "n_cams", "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"))(_train_step_multicam_impl)
+    "spatial_lr_scale", "use_custom_vjp"),
+    donate_argnums=(0,))(_train_step_multicam_impl)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cams", "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"))
+    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=(0,))
 def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
                               n_cams: int, stage: str, active_sh_degree,
                               hp: ModelHiddenParams, opt: OptimizationParams,
@@ -375,7 +382,7 @@ def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
 
 @functools.partial(jax.jit, static_argnames=(
     "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"))
+    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=(0,))
 def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
                      active_sh_degree: int, hp: ModelHiddenParams,
                      opt: OptimizationParams, pipe: PipelineParams,

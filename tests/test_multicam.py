@@ -179,6 +179,31 @@ def test_eval_grouped_sweep_matches_per_camera():
             np.testing.assert_allclose(a, b, atol=5e-3, err_msg=k)
 
 
+def test_multicam_serialize_is_output_invariant():
+    """cfg.multicam_serialize only constrains XLA scheduling — loss and
+    gradients must be identical to the unordered path."""
+    import dataclasses
+    state, camera, hp, pipe, bg = helpers.setup(seed=7)
+    opt = OptimizationParams()
+    batch = stack_cameras([camera, shifted_camera(camera, 0.2)])
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+
+    l0, _, g0 = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, batch, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, CFG)
+    cfg_s = dataclasses.replace(CFG, multicam_serialize=True)
+    l1, _, g1 = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, batch, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, cfg_s)
+    assert np.allclose(float(l0), float(l1), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g0),
+            jax.tree_util.tree_leaves_with_path(g1)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=1e-5,
+                                   atol=1e-7, err_msg=str(pa))
+
+
 def test_remat_deform_matches_stored_residuals():
     """hp.remat_deform recomputes the deformation in the backward pass —
     loss and every gradient must match the stored-residual path (same
