@@ -63,6 +63,18 @@ def init_state(pool: GaussianPool, deform_params: Dict[str, Any],
                       nan_skips=jnp.zeros((), jnp.int32))
 
 
+def clone_state(state: TrainState) -> TrainState:
+    """Deep device copy of a TrainState.
+
+    The step functions DONATE their input state (the caller's reference is
+    invalidated once the call is dispatched — reading it afterwards raises
+    ``Array has been deleted``).  Training loops never notice (they always
+    rebind ``state, aux = step(state, ...)``), but code that branches two
+    trajectories from one state — A/B tests, parallel-vs-serial parity
+    checks, speculative steps — must clone the starting point first."""
+    return jax.tree_util.tree_map(jnp.copy, state)
+
+
 def reinit_optimizer(state: TrainState) -> TrainState:
     """Per-stage ``training_setup`` semantics (reference train.py:222): each
     stage starts with fresh Adam moments and a stage-local step for the LR
@@ -317,12 +329,17 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
 # donate_argnums=0: the caller always rebinds (state, aux = step(state,...)),
 # and aliasing the ~4x pool-sized TrainState into the outputs cuts peak HBM
 # by the full state size (decisive at the 1.5M LiDAR cap; AOT memory
-# analysis in BASELINE.md r3). CPU ignores donation, so tests that reuse a
-# state object after stepping still pass there.
+# analysis in BASELINE.md r3).  Reading a state after passing it to a step
+# raises "Array has been deleted" — branch A/B trajectories via
+# clone_state.  S3G_NO_DONATE=1 disables donation (debug escape hatch).
+import os as _os
+
+_DONATE = () if _os.environ.get("S3G_NO_DONATE") else (0,)
+
 train_step = functools.partial(jax.jit, static_argnames=(
     "stage", "hp", "opt", "pipe", "cfg",
     "spatial_lr_scale", "use_custom_vjp"),
-    donate_argnums=(0,))(_train_step_impl)
+    donate_argnums=_DONATE)(_train_step_impl)
 
 
 def _train_step_multicam_impl(state: TrainState, cameras: Camera,
@@ -351,12 +368,12 @@ def _train_step_multicam_impl(state: TrainState, cameras: Camera,
 train_step_multicam = functools.partial(jax.jit, static_argnames=(
     "n_cams", "stage", "hp", "opt", "pipe", "cfg",
     "spatial_lr_scale", "use_custom_vjp"),
-    donate_argnums=(0,))(_train_step_multicam_impl)
+    donate_argnums=_DONATE)(_train_step_multicam_impl)
 
 
 @functools.partial(jax.jit, static_argnames=(
     "n_cams", "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=(0,))
+    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=_DONATE)
 def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
                               n_cams: int, stage: str, active_sh_degree,
                               hp: ModelHiddenParams, opt: OptimizationParams,
@@ -382,7 +399,7 @@ def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
 
 @functools.partial(jax.jit, static_argnames=(
     "stage", "hp", "opt", "pipe", "cfg",
-    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=(0,))
+    "spatial_lr_scale", "use_custom_vjp"), donate_argnums=_DONATE)
 def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
                      active_sh_degree: int, hp: ModelHiddenParams,
                      opt: OptimizationParams, pipe: PipelineParams,

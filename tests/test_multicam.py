@@ -136,8 +136,11 @@ def test_multicam_scan_matches_stepwise():
     batch = stack_cameras([camera, shifted_camera(camera, 0.15)])
     blocks = stack_cameras([batch, batch, batch])
 
-    s_scan, aux = train_steps_scan_multicam(state, blocks, 2, "fine", 0,
-                                            hp, opt, pipe, CFG, 1.0, bg)
+    from s3gaussian_tpu.train.trainer import clone_state
+    # the scan donates its input; branch the stepwise chain from a clone
+    s_scan, aux = train_steps_scan_multicam(clone_state(state), blocks, 2,
+                                            "fine", 0, hp, opt, pipe, CFG,
+                                            1.0, bg)
     s_step = state
     for _ in range(3):
         s_step, _ = train_step_multicam(s_step, batch, 2, "fine", 0, hp,

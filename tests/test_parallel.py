@@ -56,8 +56,10 @@ def test_parallel_matches_single_when_identical_cameras():
     state, camera, hp, pipe, bg = helpers.setup(seed=1)
     opt = OptimizationParams()
 
-    s_serial, _ = train_step(state, camera, "coarse", 0, hp, opt, pipe,
-                             helpers.CFG, 1.0, bg)
+    from s3gaussian_tpu.train.trainer import clone_state
+    # train_step donates its input; keep a copy for the parallel branch
+    s_serial, _ = train_step(clone_state(state), camera, "coarse", 0, hp,
+                             opt, pipe, helpers.CFG, 1.0, bg)
 
     step = make_parallel_train_step(mesh, "coarse", hp, opt, pipe,
                                     helpers.CFG, 1.0)
@@ -170,11 +172,14 @@ def test_parallel_densify_reset_cadence_matches_serial():
                 s = opacity_reset_step(s)
         return s
 
-    s_par = cadence(replicate_state(state, mesh), True)
+    from s3gaussian_tpu.train.trainer import clone_state
+    n_alive0 = int(state.pool.n_alive)
+    # the steps donate their input states; branch from clones
+    s_par = cadence(replicate_state(clone_state(state), mesh), True)
     s_ser = cadence(state, False)
 
     assert int(s_par.pool.n_alive) == int(s_ser.pool.n_alive)
-    assert int(s_par.pool.n_alive) > int(state.pool.n_alive)  # grew
+    assert int(s_par.pool.n_alive) > n_alive0  # grew
     np.testing.assert_array_equal(np.asarray(s_par.pool.alive),
                                   np.asarray(s_ser.pool.alive))
     np.testing.assert_allclose(np.asarray(s_par.pool.xyz),

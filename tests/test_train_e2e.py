@@ -128,7 +128,8 @@ def test_scan_steps_match_sequential():
     import jax.numpy as jnp
     from s3gaussian_tpu.config import OptimizationParams
     from s3gaussian_tpu.data.cameras import stack_cameras
-    from s3gaussian_tpu.train.trainer import train_step, train_steps_scan
+    from s3gaussian_tpu.train.trainer import (clone_state, train_step,
+                                              train_steps_scan)
 
     state, camera, hp, pipe, bg = setup(seed=2)
     opt = OptimizationParams()
@@ -136,7 +137,9 @@ def test_scan_steps_match_sequential():
                                 time=jnp.asarray(0.1 * i, jnp.float32))
             for i in range(3)]
 
-    s_seq = state
+    # the step donates its input state; branching two trajectories from
+    # one start needs an explicit clone (trainer.clone_state)
+    s_seq = clone_state(state)
     for c in cams:
         s_seq, aux_seq = train_step(s_seq, c, "fine", 0, hp, opt, pipe,
                                     CFG, 1.0, bg)
