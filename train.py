@@ -243,8 +243,15 @@ def main(argv=None):
                     gstack = list(range(len(groups)))
                     random.shuffle(gstack)
                 g = groups[gstack.pop()]
-                idx = (random.sample(g, mc) if len(g) >= mc
-                       else random.choices(g, k=mc))
+                if os.environ.get("S3G_MULTICAM_CLONE_CAM"):
+                    # diagnostic: B copies of ONE camera — the batched
+                    # gradient then equals the single-camera gradient
+                    # exactly (mean of B identical terms), isolating the
+                    # batched program's numerics from batch statistics
+                    idx = [random.choice(g)] * mc
+                else:
+                    idx = (random.sample(g, mc) if len(g) >= mc
+                           else random.choices(g, k=mc))
                 return _stack_mc([cams[i] for i in idx])
 
         def event_after(i):
