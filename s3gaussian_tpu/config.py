@@ -98,6 +98,16 @@ class OptimizationParams:
     # deformation evaluation (render_multicam).  0/1 = off.  Orthogonal to
     # batch_size (which maps to multi-device data parallelism).
     multicam: int = 0
+    # LR multiplier applied (to every param group) by the multicam step
+    # only.  Batch-mean gradients have ~1/B the variance of single-camera
+    # steps, so Adam's effective step size grows toward the deterministic
+    # regime, and each frame is revisited B times as often per optimizer
+    # step — at the reference LRs (tuned for batch_size=1; its default,
+    # arguments/__init__.py:103) a B=3 rig measurably diverges mid-fine-
+    # stage on TPU (BASELINE.md r3 "multicam divergence").  1.0 keeps the
+    # reference-faithful batch semantics; ~1/sqrt(B) is the classical
+    # noise-matched correction.
+    multicam_lr_scale: float = 1.0
 
     iterations: int = 50_000
     coarse_iterations: int = 5000

@@ -264,7 +264,8 @@ def compute_loss_multicam(params: Dict[str, Any], tap: jnp.ndarray,
 
 def apply_param_update(state: TrainState, params, pgrads, tap_grad,
                        loss, radii, visible, opt: OptimizationParams,
-                       spatial_lr_scale: float) -> TrainState:
+                       spatial_lr_scale: float,
+                       lr_scale: float = 1.0) -> TrainState:
     """Post-gradient half of a train step, shared by the single-device
     path and the shard_map data-parallel path (which calls this after its
     cross-device reductions): dead-row grad masking, the NaN watchdog,
@@ -287,7 +288,7 @@ def apply_param_update(state: TrainState, params, pgrads, tap_grad,
         lambda g: jnp.where(finite, g, jnp.zeros_like(g)), pgrads)
     tap_grad = jnp.where(finite, tap_grad, 0.0)
 
-    fin = finite.astype(jnp.float32)
+    fin = finite.astype(jnp.float32) * lr_scale
     lrs = {k: v * fin for k, v in
            lr_dict(state.step, opt, spatial_lr_scale).items()}
     new_params, new_adam = adam_update(
@@ -361,7 +362,8 @@ def _train_step_multicam_impl(state: TrainState, cameras: Camera,
     pgrads, tap_grad = grads
     new_state = apply_param_update(state, params, pgrads, tap_grad, loss,
                                    aux["radii"], aux["visible"], opt,
-                                   spatial_lr_scale)
+                                   spatial_lr_scale,
+                                   lr_scale=opt.multicam_lr_scale)
     return new_state, aux
 
 

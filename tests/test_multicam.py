@@ -151,6 +151,36 @@ def test_multicam_scan_matches_stepwise():
     assert aux["metrics"]["loss"].shape == (3,)
 
 
+def test_multicam_lr_scale_scales_first_update():
+    """opt.multicam_lr_scale multiplies every group's LR in the multicam
+    step only: Adam's first-step delta is lr * m/(sqrt(v)+eps), so halving
+    the scale halves the parameter delta exactly."""
+    import dataclasses as dc
+
+    from s3gaussian_tpu.train.trainer import clone_state
+
+    state, camera, hp, pipe, bg = helpers.setup(seed=7)
+    opt1 = OptimizationParams()
+    opt_h = dc.replace(opt1, multicam_lr_scale=0.5) if dc.is_dataclass(
+        opt1) else None
+    if opt_h is None:
+        import copy
+        opt_h = copy.deepcopy(opt1)
+        opt_h.multicam_lr_scale = 0.5
+    batch = stack_cameras([camera, shifted_camera(camera, 0.15)])
+
+    x0 = np.asarray(state.pool.xyz).copy()
+    s1, _ = train_step_multicam(clone_state(state), batch, 2, "fine", 0,
+                                hp, opt1, pipe, CFG, 1.0, bg)
+    sh, _ = train_step_multicam(state, batch, 2, "fine", 0, hp, opt_h,
+                                pipe, CFG, 1.0, bg)
+    d1 = np.asarray(s1.pool.xyz) - x0
+    dh = np.asarray(sh.pool.xyz) - x0
+    assert np.abs(d1).max() > 0
+    # f32: the extra lr multiply re-rounds the schedule value
+    np.testing.assert_allclose(dh, 0.5 * d1, rtol=5e-3, atol=1e-8)
+
+
 def test_eval_grouped_sweep_matches_per_camera():
     """render_pixels with same-timestep rigs takes the grouped
     (shared-deformation) path; metrics and frames must match the
