@@ -252,13 +252,20 @@ def main():
         scan_n=int(os.environ.get("BENCH_SCAN", "10")),
         n_steps=int(os.environ.get("BENCH_STEPS", "20")))
     it_per_s = res.pop("it_per_s")
-    print(json.dumps({
+    headline = {
         "metric": "train_iters_per_sec_640x960_fine",
         "value": it_per_s,
         "unit": "it/s",
         "vs_baseline": round(it_per_s / A100_REFERENCE_IT_PER_S, 4),
-    }), flush=True)
+    }
+    print(json.dumps(headline), flush=True)
     print(json.dumps({"detail": res}), file=sys.stderr, flush=True)
+
+    def reprint_headline():
+        # the harness records the LAST parseable JSON line as the run's
+        # result — re-emit the headline after the detail variants so a
+        # detail line is never mistaken for it
+        print(json.dumps(headline), flush=True)
 
     # --- multicam variant: the Waymo 3-camera rig on one chip ---
     # one deformation evaluation serves 3 same-timestep views, so the
@@ -281,6 +288,7 @@ def main():
 
     # --- real-scale workload: the reference's 1.5M LiDAR-init cap ---
     if os.environ.get("S3G_BENCH_SKIP_FULL"):
+        reprint_headline()
         return
     try:
         full = run_workload(
@@ -306,6 +314,7 @@ def main():
     # Waymo training runs (arguments/waymo_perf.py); cams_per_s here is
     # the number to compare against the reference's single-GPU it/s.
     if os.environ.get("S3G_BENCH_SKIP_RIG"):
+        reprint_headline()
         return
     try:
         rig = run_workload(
@@ -323,6 +332,7 @@ def main():
     except Exception as e:
         print(json.dumps({"detail_waymo_rig": {"error": str(e)[:300]}}),
               file=sys.stderr, flush=True)
+    reprint_headline()
 
 
 if __name__ == "__main__":
