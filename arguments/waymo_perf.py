@@ -13,6 +13,13 @@ RasterConfig = dict(
 # deformation evaluation (one hexplane backward scatter per step instead
 # of three) — same loss/densify semantics as the reference's batch loop
 # (PARITY.md 12a; A/B in BASELINE.md r3).
+#
+# multicam_lr_scale: the reference LRs are tuned for its default
+# batch_size=1; at B=3 the batch-mean gradient's lower variance makes
+# Adam overshoot and measurably diverge mid-fine-stage (BASELINE.md
+# "multicam training divergence").  1/sqrt(3) is the classical
+# noise-matched correction.
 OptimizationParams = dict(
     multicam=3,
+    multicam_lr_scale=0.5774,
 )
