@@ -75,6 +75,64 @@ def test_train_cli_multicam_smoke(tmp_path):
     assert loss_lines and all(np.isfinite(l["Loss"]) for l in loss_lines)
 
 
+def test_train_cli_waymo_perf_preset(tmp_path):
+    """The shipping TPU preset (arguments/waymo_perf.py) composes
+    cull_before_deform + auto-sized max_visible (0) + multicam 3 +
+    the 1/sqrt(3) LR correction — run the REAL preset file through the
+    CLI (merged with the tiny hexplane for CPU compile speed) so the
+    full composition is exercised, not just each knob in isolation."""
+    from waymo_fixture import make_fixture
+    src = make_fixture(str(tmp_path / "clip"), n_frames=3)
+    out = str(tmp_path / "out")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    import train as train_cli
+
+    perf = {}
+    with open(os.path.join(repo, "arguments", "waymo_perf.py")) as f:
+        exec(f.read(), perf)
+    tiny = {}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tiny_config.py")) as f:
+        exec(f.read(), tiny)
+    merged = str(tmp_path / "merged_config.py")
+    with open(merged, "w") as f:
+        f.write(f"RasterConfig = {perf['RasterConfig']!r}\n")
+        f.write(f"OptimizationParams = {perf['OptimizationParams']!r}\n")
+        f.write(f"ModelHiddenParams = {tiny['ModelHiddenParams']!r}\n")
+    assert perf["RasterConfig"]["max_visible"] == 0  # auto-sizing path
+    assert perf["OptimizationParams"]["multicam"] == 3
+
+    train_cli.main([
+        "-s", src, "--model_path", out, "--num_pts", "400",
+        "--coarse_iterations", "4", "--iterations", "8",
+        "--densification_interval", "4", "--densify_from_iter", "2",
+        "--opacity_reset_interval", "1000",
+        "--checkpoint_iterations", "8",
+        "--bench_iters", "4",
+        "--steps_per_dispatch", "2",
+        "--rect_w", "4", "--rect_h", "4",
+        "--chunk", "32", "--max_pairs_per_tile", "512",
+        "--load_h", "64", "--load_w", "96",
+        "--configs", merged,
+    ])
+
+    with open(os.path.join(out, "logger.json")) as f:
+        lines = [json.loads(l) for l in f if l.strip()]
+    loss_lines = [l for l in lines if "Loss" in l]
+    assert loss_lines and all(np.isfinite(l["Loss"]) for l in loss_lines)
+    # the preset's knobs survived the merge into the cfg_args dump, and
+    # the dump stays ast.literal_eval-parseable (the contract external
+    # tools like scripts/eval_flow_epe.py rebuild the model from)
+    import ast
+    with open(os.path.join(out, "cfg_args")) as f:
+        dumped = ast.literal_eval(f.read())
+    assert dumped["cull_before_deform"] is True
+    assert dumped["multicam"] == 3
+    assert dumped["multicam_lr_scale"] == 0.5774
+    assert dumped["net_width"] == 16  # tiny_config hexplane override
+
+
 def test_eval_only_smoke(tmp_path, monkeypatch):
     from waymo_fixture import make_fixture
     src = make_fixture(str(tmp_path / "clip"), n_frames=3)

@@ -130,8 +130,21 @@ def main(argv=None):
         model.model_path = os.path.join("./output", args.expname)
     os.makedirs(model.model_path, exist_ok=True)
     if is_primary():
+        # cfg_args must record the EFFECTIVE configuration — CLI flags
+        # with the --configs file merged in — matching the reference,
+        # whose merge_hparams mutates args before the dump
+        # (train.py:655-656, utils/params_utils.py:1-9).  External tools
+        # (scripts/eval_flow_epe.py, offline metrics) rebuild the model
+        # from this file alone; dumping pre-merge values would restore
+        # checkpoints against the wrong hexplane/MLP shapes.
+        import dataclasses as _dc
+        dump = dict(vars(args))
+        for grp in (model, opt, pipe, hyper, cfg):
+            for fld in _dc.fields(grp):
+                if not fld.name.startswith("_"):
+                    dump[fld.name] = getattr(grp, fld.name)
         with open(os.path.join(model.model_path, "cfg_args"), "w") as f:
-            f.write(repr(vars(args)))
+            f.write(repr(dump))
 
     print(f"Loading scene from {model.source_path}")
     scene = load_scene(model)
