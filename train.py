@@ -75,6 +75,9 @@ def main(argv=None):
     parser.add_argument("--expname", type=str, default="waymo")
     parser.add_argument("--configs", type=str, default="")
     parser.add_argument("--eval_only", action="store_true")
+    parser.add_argument("--skip_final_eval", action="store_true",
+                        help="skip the end-of-training eval sweep (A/B "
+                             "protocol legs read logger.json probes only)")
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int,
                         default=[30000, 50000])
     parser.add_argument("--start_checkpoint", type=str, default=None)
@@ -485,7 +488,7 @@ def main(argv=None):
             f"iteration_{opt.iterations}", "point_cloud.ply"), state.pool)
     sync_hosts("ckpt_fine")
 
-    if not args.bench_iters:
+    if not args.bench_iters and not args.skip_final_eval:
         res = evaluate("fine", int(state.step))
         print(json.dumps(res, indent=2))
 
