@@ -108,6 +108,21 @@ class OptimizationParams:
     # reference-faithful batch semantics; ~1/sqrt(B) is the classical
     # noise-matched correction.
     multicam_lr_scale: float = 1.0
+    # Per-camera densification statistics for the multicam step (int as a
+    # CLI-overridable bool; 1 = on).  The naive batch semantics (norm of
+    # the SUMMED screen gradient, denom += union-visible — what the
+    # reference's batch>1 path computes at train.py:435-437, though its
+    # shipping configs run batch_size=1) systematically deflate the
+    # per-view average gradient for points seen by a strict subset of the
+    # rig: a point visible in 1 of B cameras accumulates |g|/B against a
+    # denom of 1, and opposing-view gradients cancel inside the norm.
+    # Densification then starves exactly where the side cameras look alone
+    # — measured as the r3 multicam divergence (BASELINE.md round-4
+    # bisect: clone-cam rigs, which have no such points, train healthy).
+    # With 1, each camera gets its own gradient tap and the stats
+    # accumulate sum_b |g_b| with denom += per-view visibility count —
+    # exactly the per-view semantics of B reference batch_size=1 steps.
+    multicam_percam_stats: int = 1
 
     iterations: int = 50_000
     coarse_iterations: int = 5000

@@ -328,15 +328,25 @@ def reset_opacity(pool: GaussianPool, opt_rows: Dict[str, Tuple]):
 
 def add_densification_stats(stats: PoolStats, mean2d_grad: jnp.ndarray,
                             radii: jnp.ndarray,
-                            visible: jnp.ndarray) -> PoolStats:
+                            visible: jnp.ndarray,
+                            grad_norm: jnp.ndarray = None,
+                            denom_inc: jnp.ndarray = None) -> PoolStats:
     """Accumulate ‖grad(mean2D_ndc)‖ and max screen radius over visible
-    gaussians (gaussian_model.py:693-695; train.py:489-492)."""
+    gaussians (gaussian_model.py:693-695; train.py:489-492).
+
+    ``grad_norm``/``denom_inc`` override the default norm/count when the
+    caller aggregates several views per step with per-view semantics (the
+    multicam step passes sum_b ‖g_b‖ and the per-point visible-view count
+    so the accumulated average matches B single-camera iterations)."""
     vis = visible
-    norm = jnp.linalg.norm(mean2d_grad[:, :2], axis=-1)
+    norm = (grad_norm if grad_norm is not None
+            else jnp.linalg.norm(mean2d_grad[:, :2], axis=-1))
+    inc = (denom_inc if denom_inc is not None
+           else vis.astype(jnp.float32))
     return PoolStats(
         max_radii2d=jnp.where(vis, jnp.maximum(stats.max_radii2d,
                                                radii.astype(jnp.float32)),
                               stats.max_radii2d),
         xyz_grad_accum=stats.xyz_grad_accum + jnp.where(vis, norm, 0.0),
-        denom=stats.denom + vis.astype(jnp.float32),
+        denom=stats.denom + inc,
     )

@@ -269,7 +269,12 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
             [take_compact(pool.features_dc, cand, vis0),
              take_compact(pool.features_rest, cand, vis0)], axis=1)
         if mean2d_tap is not None:
-            mean2d_tap = take_compact(mean2d_tap, cand, vis0)
+            if mean2d_tap.ndim == 3:  # per-camera taps [B, cap, 2]
+                mean2d_tap = jnp.stack(
+                    [take_compact(mean2d_tap[b], cand, vis0)
+                     for b in range(n_cams)])
+            else:
+                mean2d_tap = take_compact(mean2d_tap, cand, vis0)
     else:
         scaling_w, rotation_w, opacity_w = (pool.scaling, pool.rotation,
                                             pool.opacity)
@@ -306,10 +311,12 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
     renders, depths, feats = [], [], []
     radii_red = None
     visible_red = None
+    vis_count = None
     n_pairs = jnp.zeros((), jnp.int32)
     ovf = {"overflow_rect": jnp.zeros((), jnp.int32),
            "overflow_visible": jnp.zeros((), jnp.int32),
            "overflow_pairs": jnp.zeros((), jnp.int32)}
+    percam_tap = mean2d_tap is not None and mean2d_tap.ndim == 3
     for b in range(n_cams):
         cam = index_camera(cameras, b)
         settings = make_settings(cam, bg, active_sh_degree)
@@ -322,7 +329,8 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
             settings, xyz_f, op_act[:, 0], scales=scales_act,
             rotations=rot_act,
             shs=None if colors_list[b] is not None else shs_f,
-            colors_precomp=colors_list[b], mean2d_tap=mean2d_tap,
+            colors_precomp=colors_list[b],
+            mean2d_tap=mean2d_tap[b] if percam_tap else mean2d_tap,
             alive=alive_w, cfg=cfg, use_custom_vjp=use_custom_vjp)
         if use_cull:
             nr = work_indices.shape[0]
@@ -341,6 +349,11 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
                                                                 radii)
         visible_red = vis_pool if visible_red is None else (visible_red
                                                             | vis_pool)
+        # per-point count of rig cameras that rendered the point — the
+        # denom increment for per-view densification stats (config.py
+        # OptimizationParams.multicam_percam_stats)
+        vis_f = vis_pool.astype(jnp.float32)
+        vis_count = vis_f if vis_count is None else vis_count + vis_f
         n_pairs = n_pairs + aux["n_pairs"]
         for k in ovf:
             ovf[k] = jnp.maximum(ovf[k], aux[k])
@@ -357,7 +370,8 @@ def render_multicam(cameras: Camera, n_cams: int, pool: GaussianPool,
         "radii": radii_red,
         "visibility_filter": radii_red > 0,
         "alive_work": alive_w,
-        "raster_aux": {"visible": visible_red, "n_pairs": n_pairs, **ovf},
+        "raster_aux": {"visible": visible_red, "vis_count": vis_count,
+                       "n_pairs": n_pairs, **ovf},
         "dx": dx,
         "dshs": dshs,
     }

@@ -253,6 +253,7 @@ def compute_loss_multicam(params: Dict[str, Any], tap: jnp.ndarray,
 
     metrics["loss"] = loss
     aux = {"radii": pkg["radii"],
+           "vis_count": pkg["raster_aux"]["vis_count"],
            "visible": pkg["raster_aux"]["visible"],
            "n_pairs": pkg["raster_aux"]["n_pairs"],
            "overflow_rect": pkg["raster_aux"]["overflow_rect"],
@@ -265,11 +266,17 @@ def compute_loss_multicam(params: Dict[str, Any], tap: jnp.ndarray,
 def apply_param_update(state: TrainState, params, pgrads, tap_grad,
                        loss, radii, visible, opt: OptimizationParams,
                        spatial_lr_scale: float,
-                       lr_scale: float = 1.0) -> TrainState:
+                       lr_scale: float = 1.0,
+                       vis_count=None) -> TrainState:
     """Post-gradient half of a train step, shared by the single-device
     path and the shard_map data-parallel path (which calls this after its
     cross-device reductions): dead-row grad masking, the NaN watchdog,
     scheduled LRs, the Adam update, and densification-stats accumulation.
+
+    When ``vis_count`` is given (multicam per-view stats), ``tap_grad`` is
+    the PRECOMPUTED per-point sum of per-camera screen-grad norms [cap]
+    and ``vis_count`` the per-point visible-view count — together they
+    accumulate exactly what B reference batch_size=1 iterations would.
     """
     # dead pool slots must never move (their placeholder values keep all
     # downstream math finite), so mask their gradients row-wise
@@ -296,8 +303,13 @@ def apply_param_update(state: TrainState, params, pgrads, tap_grad,
         lr_for_leaf=lambda path: lrs[path_group(path)])
 
     new_pool = state.pool.with_params(new_params["pool"])
-    new_stats = add_densification_stats(state.stats, tap_grad, radii,
-                                        visible)
+    if vis_count is not None:
+        new_stats = add_densification_stats(state.stats, None, radii,
+                                            visible, grad_norm=tap_grad,
+                                            denom_inc=vis_count)
+    else:
+        new_stats = add_densification_stats(state.stats, tap_grad, radii,
+                                            visible)
     return TrainState(pool=new_pool, deform=new_params["deform"],
                       adam=new_adam, stats=new_stats,
                       step=state.step + 1, aabb=state.aabb,
@@ -352,7 +364,11 @@ def _train_step_multicam_impl(state: TrainState, cameras: Camera,
     """One optimizer step over a same-timestep camera batch (one
     deformation evaluation, ``n_cams`` rasterizations)."""
     params = {"pool": state.pool.param_dict(), "deform": state.deform}
-    tap = jnp.zeros((state.pool.capacity, 2))
+    percam = bool(opt.multicam_percam_stats)
+    if percam:
+        tap = jnp.zeros((n_cams, state.pool.capacity, 2))
+    else:
+        tap = jnp.zeros((state.pool.capacity, 2))
 
     (loss, aux), grads = jax.value_and_grad(
         compute_loss_multicam, argnums=(0, 1), has_aux=True)(
@@ -360,10 +376,17 @@ def _train_step_multicam_impl(state: TrainState, cameras: Camera,
             active_sh_degree, hp, opt, pipe, state.aabb, bg, cfg,
             use_custom_vjp)
     pgrads, tap_grad = grads
+    if percam:
+        # the batch loss is a mean over B cameras, so each camera's tap
+        # gradient is g_b/B; undo the 1/B and accumulate per-view norms
+        tap_grad = jnp.sum(jnp.linalg.norm(
+            tap_grad[..., :2] * n_cams, axis=-1), axis=0)
     new_state = apply_param_update(state, params, pgrads, tap_grad, loss,
                                    aux["radii"], aux["visible"], opt,
                                    spatial_lr_scale,
-                                   lr_scale=opt.multicam_lr_scale)
+                                   lr_scale=opt.multicam_lr_scale,
+                                   vis_count=(aux["vis_count"] if percam
+                                              else None))
     return new_state, aux
 
 

@@ -116,6 +116,122 @@ def test_multicam_b2_is_mean_of_per_camera():
         np.asarray(auxA["visible"]) | np.asarray(auxB["visible"]))
 
 
+def yawed_camera(camera: Camera, target_pool, deform, hp, pipe, bg, aabb,
+                 yaw: float, tx: float = 0.0) -> Camera:
+    """A rig-style camera: rotated ``yaw`` about the vertical axis and
+    offset ``tx``, with its own GT image + depth rendered from the target
+    scene.  Unlike ``shifted_camera`` this changes the ROTATION — the Waymo
+    rig's side cameras differ from FRONT by a ±45° yaw, and translated-only
+    batches cannot catch defects in per-camera orientation handling."""
+    import dataclasses
+    c, s = np.cos(yaw), np.sin(yaw)
+    c2w = np.array([[c, 0, s, tx], [0, 1, 0, 0],
+                    [-s, 0, c, 0], [0, 0, 0, 1]], np.float32)
+    w2c = np.linalg.inv(c2w)
+    view = w2c.T.astype(np.float32)
+    proj = projection_matrix(0.01, 100.0, float(camera.fovx),
+                             float(camera.fovy))
+    full = (view @ np.asarray(proj).T).astype(np.float32)
+    cam = dataclasses.replace(
+        camera, world_view=jnp.asarray(view), full_proj=jnp.asarray(full),
+        campos=jnp.asarray(c2w[:3, 3]), image=None, depth_map=None)
+    from s3gaussian_tpu.render.renderer import render
+    pkg = render(cam, target_pool, deform, hp, pipe, bg, aabb, 0,
+                 stage="coarse", cfg=CFG)
+    gt = jnp.clip(pkg["render"], 0, 1).transpose(1, 2, 0)
+    return dataclasses.replace(cam, image=gt, depth_map=pkg["depth"])
+
+
+def test_multicam_b3_yawed_rig_matches_sequential_oracle():
+    """Full-loss parity of the batched multicam program against an oracle
+    that renders each camera with the single-camera ``render()`` and
+    assembles the identical pooled loss — with ROTATED rig cameras (yaw
+    0/±0.35) and the depth term ON (pooled valid mask, torch.cat
+    semantics).  Divergence here = defect in the batched program; this is
+    the CPU companion of the TPU clone-cam bisect (BASELINE.md round-4
+    multicam section)."""
+    from s3gaussian_tpu.render.renderer import render
+    from s3gaussian_tpu.train.losses import (depth_loss, l1_loss, psnr,
+                                             ssim)
+    from s3gaussian_tpu.models import hexplane as hx
+    from s3gaussian_tpu.models.pool import GaussianPool
+
+    state, camera, hp, pipe, bg = helpers.setup(seed=11, n=60)
+    # target scene for GT renders of the yawed views
+    from scenes import random_scene
+    from s3gaussian_tpu.models.pool import create_from_pcd
+    sc = random_scene(n=60, seed=11, w=W, h=H, zrange=(2.0, 6.0),
+                      scale_range=(0.1, 0.25), opacity_range=(0.5, 0.9))
+    target = create_from_pcd(sc["means"], sc["colors"], 256)
+    opt = OptimizationParams()
+    cams = [yawed_camera(camera, target, state.deform, hp, pipe, bg,
+                         state.aabb, yaw, tx)
+            for yaw, tx in ((0.0, 0.0), (0.35, 0.2), (-0.35, -0.2))]
+    # each view must actually see content or the parity claim is vacuous
+    for c in cams:
+        assert float(jnp.mean(c.image)) > 0.01
+
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((state.pool.capacity, 2))
+    batch = stack_cameras(cams)
+
+    def oracle(params, tap, alive):
+        """B sequential single-camera renders + the pooled (cat) loss —
+        the semantics compute_loss_multicam documents."""
+        pool = GaussianPool(
+            xyz=params["pool"]["xyz"], features_dc=params["pool"]["f_dc"],
+            features_rest=params["pool"]["f_rest"],
+            scaling=params["pool"]["scaling"],
+            rotation=params["pool"]["rotation"],
+            opacity=params["pool"]["opacity"], alive=alive)
+        pkgs = [render(c, pool, params["deform"], hp, pipe, bg, state.aabb,
+                       0, stage="fine", return_dx=True, mean2d_tap=tap,
+                       cfg=CFG) for c in cams]
+        renders = jnp.stack([p["render"] for p in pkgs])
+        depths = jnp.stack([p["depth"] for p in pkgs])
+        gts = jnp.stack([c.image.transpose(2, 0, 1) for c in cams])
+        loss = l1_loss(renders, gts)
+        w_alive = pkgs[0]["alive_work"]
+        n_alive = jnp.maximum(jnp.sum(w_alive), 1)
+        dx_l = jnp.sum(jnp.where(w_alive[:, None],
+                                 jnp.abs(pkgs[0]["dx"]), 0.0)) / (n_alive * 3)
+        loss = loss + opt.lambda_dx * dx_l
+        dshs_l = jnp.sum(jnp.where(w_alive[:, None, None],
+                                   jnp.abs(pkgs[0]["dshs"]), 0.0)) \
+            / (n_alive * 48)
+        loss = loss + opt.lambda_dshs * dshs_l
+        gt_d = jnp.stack([c.depth_map for c in cams])
+        loss = loss + opt.lambda_depth * depth_loss(depths, gt_d, "l2")
+        loss = loss + hx.compute_regulation(
+            params["deform"]["grid"], len(hp.multires),
+            hp.time_smoothness_weight, hp.l1_time_planes,
+            hp.plane_tv_weight)
+        loss = loss + opt.lambda_dssim * (1.0 - ssim(renders, gts))
+        return loss, pkgs
+
+    (l_o, pkgs), g_o = jax.value_and_grad(oracle, argnums=(0, 1),
+                                          has_aux=True)(
+        params, tap, state.pool.alive)
+    l_m, aux_m, g_m = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, batch, 3,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, CFG)
+
+    assert np.allclose(float(l_o), float(l_m), rtol=1e-5), (l_o, l_m)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_o),
+            jax.tree_util.tree_leaves_with_path(g_m)):
+        scale = max(float(jnp.abs(a).max()), 1e-8)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), rtol=2e-3,
+                                   atol=max(3e-5 * scale, 1e-5),
+                                   err_msg=str(pa))
+    # batch reductions: radii = elementwise max, visible = any
+    radii_max = np.maximum.reduce([np.asarray(p["radii"]) for p in pkgs])
+    vis_any = np.logical_or.reduce(
+        [np.asarray(p["raster_aux"]["visible"]) for p in pkgs])
+    np.testing.assert_array_equal(np.asarray(aux_m["radii"]), radii_max)
+    np.testing.assert_array_equal(np.asarray(aux_m["visible"]), vis_any)
+
+
 def test_multicam_step_descends():
     state, camera, hp, pipe, bg = helpers.setup(seed=2)
     opt = OptimizationParams()
