@@ -119,6 +119,134 @@ def make_parallel_train_step(mesh: Mesh, stage: str,
     return jax.jit(step)
 
 
+def _device_step_multicam(state: TrainState, cams: Camera, n_cams: int,
+                          active_sh_degree, bg: jnp.ndarray, *, stage, hp,
+                          opt, pipe, cfg, spatial_lr_scale, use_custom_vjp,
+                          n_dev):
+    """One per-device MULTICAM train step inside shard_map: the device's
+    shard is a same-timestep camera group ([n_cams, ...] leaves, one frame's
+    rig), rendered with ONE deformation evaluation (render_multicam); the
+    pooled per-device loss gradients psum across the mesh.  This composes
+    the two scaling seams — rig batching per device × frames across devices
+    — the v5p-8 production configuration (SURVEY §5.8a)."""
+    from s3gaussian_tpu.train.trainer import compute_loss_multicam
+
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    percam = bool(opt.multicam_percam_stats)
+    if percam:
+        tap = jnp.zeros((n_cams, state.pool.capacity, 2))
+    else:
+        tap = jnp.zeros((state.pool.capacity, 2))
+    (loss, aux), grads = jax.value_and_grad(
+        compute_loss_multicam, argnums=(0, 1), has_aux=True)(
+            params, tap, state.pool.alive, cams, n_cams, stage,
+            active_sh_degree, hp, opt, pipe, state.aabb, bg, cfg,
+            use_custom_vjp)
+    pgrads, tap_grad = grads
+
+    pgrads = jax.tree_util.tree_map(
+        lambda g: jax.lax.psum(g, "data") / n_dev, pgrads)
+    if percam:
+        # per-device: each camera's tap grad is g_b/B (device loss is a
+        # B-mean, not divided by n_dev) — per-view norms sum across the
+        # rig, then across devices, matching B*n_dev reference
+        # batch_size=1 iterations (trainer.apply_param_update vis_count)
+        tap_grad = jax.lax.psum(jnp.sum(jnp.linalg.norm(
+            tap_grad[..., :2] * n_cams, axis=-1), axis=0), "data")
+        vis_count = jax.lax.psum(aux["vis_count"], "data")
+    else:
+        tap_grad = jax.lax.psum(tap_grad, "data")
+        vis_count = None
+    loss = jax.lax.pmean(loss, "data")
+    radii = jax.lax.pmax(aux["radii"], "data")
+    visible = jax.lax.pmax(aux["visible"].astype(jnp.int32), "data") > 0
+    metrics = jax.tree_util.tree_map(lambda m: jax.lax.pmean(m, "data"),
+                                     aux["metrics"])
+    counters = {k: jax.lax.pmax(aux[k], "data")
+                for k in ("n_pairs", "overflow_rect", "overflow_visible",
+                          "overflow_pairs")}
+
+    new_state = apply_param_update(state, params, pgrads, tap_grad,
+                                   loss, radii, visible, opt,
+                                   spatial_lr_scale,
+                                   lr_scale=opt.multicam_lr_scale,
+                                   vis_count=vis_count)
+    return new_state, {"metrics": metrics, **counters}
+
+
+def make_parallel_train_step_multicam(mesh: Mesh, n_cams: int, stage: str,
+                                      hp: ModelHiddenParams,
+                                      opt: OptimizationParams,
+                                      pipe: PipelineParams,
+                                      cfg: RasterConfig,
+                                      spatial_lr_scale: float,
+                                      use_custom_vjp: bool = True):
+    """Returns a jitted (state, camera_groups, active_sh_degree, bg) ->
+    (state, aux) step where ``camera_groups`` leaves are
+    [n_devices, n_cams, ...] — one same-timestep rig group per device,
+    sharded on axis 0."""
+    import functools
+
+    n_dev = mesh.shape["data"]
+    body = functools.partial(
+        _device_step_multicam, stage=stage, hp=hp, opt=opt, pipe=pipe,
+        cfg=cfg, spatial_lr_scale=spatial_lr_scale,
+        use_custom_vjp=use_custom_vjp, n_dev=n_dev)
+
+    def per_device(state: TrainState, cams: Camera, active_sh_degree,
+                   bg: jnp.ndarray):
+        # cams arrive as [1(local shard), n_cams, ...]; drop the shard axis
+        cams = jax.tree_util.tree_map(lambda x: x[0], cams)
+        return body(state, cams, n_cams, active_sh_degree, bg)
+
+    from jax import shard_map
+
+    step = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P("data"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(step)
+
+
+def make_parallel_train_steps_scan_multicam(mesh: Mesh, n_cams: int,
+                                            stage: str,
+                                            hp: ModelHiddenParams,
+                                            opt: OptimizationParams,
+                                            pipe: PipelineParams,
+                                            cfg: RasterConfig,
+                                            spatial_lr_scale: float,
+                                            use_custom_vjp: bool = True):
+    """Scanned multicam-DP dispatch: ``camera_blocks`` leaves are
+    [n_steps, n_devices, n_cams, ...] (axis 1 sharded); lax.scan runs
+    inside shard_map so the per-step psums ride ICI without host returns."""
+    import functools
+
+    n_dev = mesh.shape["data"]
+    body = functools.partial(
+        _device_step_multicam, stage=stage, hp=hp, opt=opt, pipe=pipe,
+        cfg=cfg, spatial_lr_scale=spatial_lr_scale,
+        use_custom_vjp=use_custom_vjp, n_dev=n_dev)
+
+    def per_device(state: TrainState, cams: Camera, active_sh_degree,
+                   bg: jnp.ndarray):
+        cams = jax.tree_util.tree_map(lambda x: x[:, 0], cams)
+
+        def scan_body(s, cam):
+            return body(s, cam, n_cams, active_sh_degree, bg)
+
+        return jax.lax.scan(scan_body, state, cams)
+
+    from jax import shard_map
+
+    step = shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(None, "data"), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(step)
+
+
 def make_parallel_train_steps_scan(mesh: Mesh, stage: str,
                                    hp: ModelHiddenParams,
                                    opt: OptimizationParams,

@@ -192,3 +192,74 @@ def test_parallel_densify_reset_cadence_matches_serial():
     np.testing.assert_allclose(np.asarray(s_par.adam.mu["pool"]["xyz"]),
                                np.asarray(s_ser.adam.mu["pool"]["xyz"]),
                                rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_multicam_matches_serial_multicam():
+    """Multicam x DP composition (SURVEY §5.8a): with the same rig group on
+    every device, one DP-multicam step == one serial train_step_multicam
+    (psum-averaged grads equal the local grads)."""
+    from s3gaussian_tpu.parallel.data_parallel import (
+        make_parallel_train_step_multicam)
+    from s3gaussian_tpu.train.trainer import clone_state, train_step_multicam
+    from test_multicam import shifted_camera
+
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    state, camera, hp, pipe, bg = helpers.setup(seed=8)
+    opt = OptimizationParams()
+    group = stack_cameras([camera, shifted_camera(camera, 0.2)])
+
+    s_serial, aux_s = train_step_multicam(clone_state(state), group, 2,
+                                          "fine", 0, hp, opt, pipe,
+                                          helpers.CFG, 1.0, bg)
+
+    step = make_parallel_train_step_multicam(mesh, 2, "fine", hp, opt,
+                                             pipe, helpers.CFG, 1.0)
+    sp = replicate_state(state, mesh)
+    groups = shard_camera_batch(stack_cameras([group] * n_dev), mesh)
+    s_par, aux_p = step(sp, groups, jnp.asarray(0, jnp.int32), bg)
+
+    np.testing.assert_allclose(np.asarray(s_par.pool.xyz),
+                               np.asarray(s_serial.pool.xyz),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(s_par.deform["mlp"]["pos"]["l2"]["w"]),
+        np.asarray(s_serial.deform["mlp"]["pos"]["l2"]["w"]),
+        rtol=1e-5, atol=1e-7)
+    assert np.allclose(float(aux_p["metrics"]["loss"]),
+                       float(aux_s["metrics"]["loss"]), rtol=1e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_multicam_scan_descends():
+    """Scanned multicam-DP blocks descend with distinct rigs per device."""
+    from s3gaussian_tpu.parallel.data_parallel import (
+        make_parallel_train_steps_scan_multicam)
+    from test_multicam import shifted_camera
+
+    n_dev = 2
+    spd = 2
+    mesh = make_mesh(n_dev)
+    state, camera, hp, pipe, bg = helpers.setup(seed=9)
+    opt = OptimizationParams()
+    g1 = stack_cameras([camera, shifted_camera(camera, 0.15)])
+    g2 = stack_cameras([shifted_camera(camera, -0.15),
+                        shifted_camera(camera, 0.3)])
+
+    scan = make_parallel_train_steps_scan_multicam(mesh, 2, "fine", hp,
+                                                   opt, pipe, helpers.CFG,
+                                                   1.0)
+    state = replicate_state(state, mesh)
+    # [spd, n_dev, n_cams, ...]
+    blocks = stack_cameras([stack_cameras([g1, g2])] * spd)
+    blocks = shard_camera_blocks(blocks, mesh)
+
+    losses = []
+    for _ in range(4):
+        state, aux = scan(state, blocks, jnp.asarray(0, jnp.int32), bg)
+        per_step = np.asarray(aux["metrics"]["loss"])
+        assert per_step.shape == (spd,)
+        losses.extend(per_step.tolist())
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]

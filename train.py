@@ -232,18 +232,41 @@ def main(argv=None):
             # every process pops the SAME camera sequence (identical seed)
             # and materializes only its slice of the global batch
             b_lo, b_hi = local_batch_slice(opt.batch_size)
+        # S3G_SEQ_FRAME_ORDER: diagnostic single-camera ordering that pops
+        # whole frames — the 3 views of one random frame land on 3
+        # CONSECUTIVE optimizer steps.  Gives single-camera training the
+        # exact per-frame exposure pattern of --multicam without batching,
+        # isolating gradient simultaneity from data order in the multicam
+        # divergence bisect (BASELINE.md round-4 multicam section).
+        seq_frame_order = bool(os.environ.get("S3G_SEQ_FRAME_ORDER"))
+
         def pop_cam():
             nonlocal stack
             if not stack:
-                stack = list(range(len(cams)))
-                random.shuffle(stack)
+                if seq_frame_order:
+                    by_t = {}
+                    for i, c in enumerate(cams):
+                        by_t.setdefault(round(float(c.time), 6),
+                                        []).append(i)
+                    frames = list(by_t.values())
+                    random.shuffle(frames)
+                    for g in frames:
+                        random.shuffle(g)
+                    # stack pops from the end: keep frames contiguous
+                    stack = [i for g in frames for i in g][::-1]
+                else:
+                    stack = list(range(len(cams)))
+                    random.shuffle(stack)
             return cams[stack.pop()]
 
         # same-timestep camera groups for --multicam (one deformation eval
-        # per optimizer step; reference batch loop train.py:328-360 analog)
+        # per optimizer step; reference batch loop train.py:328-360 analog).
+        # Composes with batch_size>1 data parallelism: each device of the
+        # mesh takes one frame's rig group (SURVEY §5.8a — the v5p-8
+        # production configuration).
         mc = max(int(opt.multicam), 0)
         use_multicam = mc > 1 and not use_parallel
-        if use_multicam:
+        if mc > 1:
             from s3gaussian_tpu.data.cameras import stack_cameras as _stack_mc
             from s3gaussian_tpu.train.trainer import (
                 train_step_multicam, train_steps_scan_multicam)
@@ -306,13 +329,23 @@ def main(argv=None):
                             and not any((iteration + j) % 1000 == 0
                                         for j in range(1, spd)))
                 sh_t = jnp.asarray(active_sh, jnp.int32)
+                # multicam x DP: each mesh device takes one frame's rig
+                # group ([B_dev, n_cams, ...] leaves, axis 0 sharded)
+                pop_row = pop_group if mc > 1 else pop_cam
                 if block_ok:
                     if par_scan is None:
-                        par_scan = make_parallel_train_steps_scan(
-                            mesh, stage, hyper, opt, pipe, cfg,
-                            scene.cameras_extent)
+                        if mc > 1:
+                            from s3gaussian_tpu.parallel.data_parallel \
+                                import make_parallel_train_steps_scan_multicam
+                            par_scan = make_parallel_train_steps_scan_multicam(
+                                mesh, mc, stage, hyper, opt, pipe, cfg,
+                                scene.cameras_extent)
+                        else:
+                            par_scan = make_parallel_train_steps_scan(
+                                mesh, stage, hyper, opt, pipe, cfg,
+                                scene.cameras_extent)
                     blocks = stack_cameras(
-                        [stack_cameras([pop_cam()
+                        [stack_cameras([pop_row()
                                         for _ in range(opt.batch_size)
                                         ][b_lo:b_hi])
                          for _ in range(spd)])
@@ -323,15 +356,22 @@ def main(argv=None):
                     n_done += spd
                     iteration += spd - 1
                 else:
-                    batch = [pop_cam() for _ in range(opt.batch_size)
+                    batch = [pop_row() for _ in range(opt.batch_size)
                              ][b_lo:b_hi]
                     if par_step is None:
                         # active_sh is a traced operand (like the scan
                         # path): one compile covers the whole
                         # oneupSHdegree schedule
-                        par_step = make_parallel_train_step(
-                            mesh, stage, hyper, opt, pipe, cfg,
-                            scene.cameras_extent)
+                        if mc > 1:
+                            from s3gaussian_tpu.parallel.data_parallel \
+                                import make_parallel_train_step_multicam
+                            par_step = make_parallel_train_step_multicam(
+                                mesh, mc, stage, hyper, opt, pipe, cfg,
+                                scene.cameras_extent)
+                        else:
+                            par_step = make_parallel_train_step(
+                                mesh, stage, hyper, opt, pipe, cfg,
+                                scene.cameras_extent)
                     state, aux = par_step(
                         state, host_local_camera_batch(stack_cameras(batch),
                                                        mesh), sh_t, bg)
