@@ -9,6 +9,10 @@ the leg's camera-batching configuration:
     a  — single-camera reference semantics (batch_size 1)
     b  — --multicam 3 at the reference LRs (multicam_lr_scale 1.0)
     i  — --multicam 3 at the noise-matched LR scale 1/sqrt(3)
+    cc — leg-b flags + S3G_MULTICAM_CLONE_CAM=1: every group is B copies
+         of ONE camera, so the batched gradient equals the single-camera
+         gradient exactly — divergence here = batched-program defect,
+         health here = batch statistics/dynamics
 
 All legs share the clip directory (generated once, seeded) so the scene,
 init cloud, and schedule are identical; only the batching/LR differ.
@@ -41,6 +45,13 @@ LEGS = {
     "a": [],
     "b": ["--multicam", "3", "--multicam_lr_scale", "1.0"],
     "i": ["--multicam", "3", "--multicam_lr_scale", "0.5774"],
+    "cc": ["--multicam", "3", "--multicam_lr_scale", "1.0"],
+}
+
+# per-leg environment (set before the training CLI runs, so the whole
+# documented protocol is reproducible from this one entry point)
+LEG_ENV = {
+    "cc": {"S3G_MULTICAM_CLONE_CAM": "1"},
 }
 
 
@@ -69,6 +80,9 @@ def main(argv=None):
     p.add_argument("--coarse", type=int, default=800)
     p.add_argument("--fine", type=int, default=2400)
     args, extra = p.parse_known_args(argv)
+
+    for k, v in LEG_ENV.get(args.leg, {}).items():
+        os.environ[k] = v
 
     import mini_clip
 
