@@ -290,6 +290,12 @@ class RasterConfig:
     # beyond the budget render their core only (graceful clamp, counted
     # in overflow_rect).
     big_budget: int = 0
+    # hierarchical pair sort (ops/sort_hier.py): chunked bitonic merge
+    # that replaces the two M-sized lax.sorts' O(log² M) HBM comparator
+    # passes with VMEM-resident chunk sorts + O(log² (M/chunk)) fused
+    # passes.  Value = chunk_log2; 0 = plain lax.sort; None = auto
+    # (measured policy — see _use_hier in ops/rasterizer.py).
+    sort_hier: Optional[int] = None
     # multicam: force the per-camera rasterization pipelines of a
     # render_multicam batch to execute SEQUENTIALLY (an optimization
     # barrier ties camera b+1's inputs to camera b's output).  Without

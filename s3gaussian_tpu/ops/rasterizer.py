@@ -77,6 +77,28 @@ def _use_pack(cfg: RasterConfig) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_hier(cfg: RasterConfig) -> int:
+    """chunk_log2 for the hierarchical pair sort; 0 = plain lax.sort.
+    Auto policy is measurement-driven (scripts job 021a, BASELINE.md r4):
+    off until the TPU microbench blesses a chunk size."""
+    if cfg.sort_hier is not None:
+        return cfg.sort_hier
+    return 0
+
+
+def _sort_rows(rows, num_keys: int, hier_chunk: int, num_cmp: int = 0):
+    """One stable kv-sort of ``rows`` (keys first): lax.sort, or the
+    hierarchical bitonic merge when ``hier_chunk`` > 0.  ``num_cmp`` is
+    the length of the unique lexicographic prefix (default: keys + the
+    slot row that follows them) — uniqueness makes hier_sort bit-identical
+    to the stable sort (see ops/sort_hier.py)."""
+    if hier_chunk > 0:
+        from s3gaussian_tpu.ops.sort_hier import hier_sort
+        return hier_sort(rows, num_cmp=num_cmp or (num_keys + 1),
+                         chunk_log2=hier_chunk)
+    return jax.lax.sort(rows, num_keys=num_keys)
+
+
 def _pack2(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Two f32 rows -> one u32 row of packed bfloat16 pairs."""
     ab = jnp.stack([a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)], axis=-1)
@@ -100,7 +122,8 @@ def _const_rows(bp: int, dtype=jnp.float32) -> jnp.ndarray:
 def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                     chunk: int, max_chunks: int, nr: int, rect_cap: int,
                     bp: int, use_pallas: bool, use_custom_vjp: bool = True,
-                    pack_bf16: bool = False, nb: int = 0):
+                    pack_bf16: bool = False, nb: int = 0,
+                    hier_chunk: int = 0):
     """Build the sort+composite core for a static configuration.
 
     The core maps (feat_pool [16,N], pair keys, sel, visible, big...) to
@@ -164,10 +187,10 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         stream is bit-equal to the payload-carrying variant."""
         slot = jnp.arange(m, dtype=jnp.int32)
         if two_key:
-            out = jax.lax.sort((tile_u32, depth_u32, slot), num_keys=2)
+            out = _sort_rows((tile_u32, depth_u32, slot), 2, hier_chunk)
             sorted_tile, sorted_slot = out[0], out[2]
         else:
-            out = jax.lax.sort((keys, slot), num_keys=1)
+            out = _sort_rows((keys, slot), 1, hier_chunk)
             sorted_tile = out[0] >> jnp.uint32(DEPTH_BITS)
             sorted_slot = out[1]
         # sel is the identity when the render budget covers the pool
@@ -186,10 +209,10 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
                        big_sel, big_granted, big_rank):
             slot = jnp.arange(m, dtype=jnp.int32)
             if two_key:
-                s = jax.lax.sort((tile_u32, depth_u32, slot), num_keys=2)
+                s = _sort_rows((tile_u32, depth_u32, slot), 2, hier_chunk)
                 sorted_tile, sorted_slot = s[0], s[2]
             else:
-                s = jax.lax.sort((keys, slot), num_keys=1)
+                s = _sort_rows((keys, slot), 1, hier_chunk)
                 sorted_tile, sorted_slot = s[0] >> jnp.uint32(DEPTH_BITS), s[1]
             data = extend_data(feat_pool, feat_pool, sel, big_sel)
             stream = data[:, slot_to_gid(sorted_slot[:bp])]
@@ -238,7 +261,7 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
         if pack_bf16:
             rows = tuple(_pack2(pair_grads[i], pair_grads[i + 1])
                          for i in range(0, N_DATA_ROWS, 2))
-            s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
+            s = _sort_rows((sorted_slot,) + rows, 1, hier_chunk, num_cmp=1)
             unpacked = []
             for u in s[1:]:
                 a, b = _unpack2(u)
@@ -246,7 +269,7 @@ def _make_composite(grid_x: int, grid_y: int, tile_x: int, tile_y: int,
             d_slot = jnp.stack(unpacked, 0)               # [10, M] slot order
         else:
             rows = tuple(pair_grads[i] for i in range(N_DATA_ROWS))
-            s = jax.lax.sort((sorted_slot,) + rows, num_keys=1)
+            s = _sort_rows((sorted_slot,) + rows, 1, hier_chunk, num_cmp=1)
             d_slot = jnp.stack(s[1:], 0)                  # [10, M] slot order
         if nb > 0:
             d_compact = d_slot[:, :m1].reshape(N_DATA_ROWS, nr, 4).sum(-1)
@@ -344,7 +367,7 @@ def rasterize(
     max_chunks = max(1, -(-min(m, cfg.max_pairs_per_tile) // cfg.chunk))
     core = _make_composite(grid_x, grid_y, cfg.tile_x, cfg.tile_y, cfg.chunk,
                            max_chunks, nr, cfg.rect_cap, bp, _use_pallas(cfg),
-                           use_custom_vjp, _use_pack(cfg), nb)
+                           use_custom_vjp, _use_pack(cfg), nb, _use_hier(cfg))
     if nb > 0:
         big_args = (pk.big_sel, pk.big_granted, pk.big_rank)
     else:
