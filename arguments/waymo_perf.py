@@ -14,12 +14,16 @@ RasterConfig = dict(
 # of three) — same loss/densify semantics as the reference's batch loop
 # (PARITY.md 12a; A/B in BASELINE.md r3).
 #
-# multicam_lr_scale: the reference LRs are tuned for its default
-# batch_size=1; at B=3 the batch-mean gradient's lower variance makes
-# Adam overshoot and measurably diverge mid-fine-stage (BASELINE.md
-# "multicam training divergence").  1/sqrt(3) is the classical
-# noise-matched correction.
+# The r3 divergence is root-caused and fixed: batch-SUMMED densify stats
+# mis-ranked densify candidates (opposing-view gradient cancellation +
+# union-visibility denom).  multicam_percam_stats=1 (the config default)
+# restores per-view semantics; the bisect (BASELINE.md "Round 4:
+# multicam divergence ROOT-CAUSED") measures mc=3 at reference LRs
+# healthy to fine-2400 (34.0 dB vs single-camera 31.1).  The r3
+# noise-matched LR correction (0.5774) was measured NOT to heal the
+# summed-stats collapse and is unnecessary with the fix — reference LRs
+# ship unscaled.
 OptimizationParams = dict(
     multicam=3,
-    multicam_lr_scale=0.5774,
+    multicam_lr_scale=1.0,
 )
