@@ -25,6 +25,12 @@ import time
 
 A100_REFERENCE_IT_PER_S = 10.0
 
+# Single-v5e speed-of-light for the headline workload from the measured
+# bytes floor (~73 ms/step of compulsory HBM traffic — BASELINE.md
+# "bytes-roofline", r3): the it/s an infinitely-fused program would hit.
+# roofline_frac = headline / this, the honest "how close to the light".
+V5E_ROOFLINE_IT_PER_S = 13.7
+
 
 def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
                  render_fps_too=True, multicam=0, remat=False,
@@ -252,6 +258,7 @@ def main():
         scan_n=int(os.environ.get("BENCH_SCAN", "10")),
         n_steps=int(os.environ.get("BENCH_STEPS", "20")))
     it_per_s = res.pop("it_per_s")
+    res["roofline_frac"] = round(it_per_s / V5E_ROOFLINE_IT_PER_S, 3)
     headline = {
         "metric": "train_iters_per_sec_640x960_fine",
         "value": it_per_s,
@@ -329,6 +336,10 @@ def main():
                                            "786432")))
         print(json.dumps({"detail_waymo_rig": rig}), file=sys.stderr,
               flush=True)
+        # the production-rig throughput is a first-class tracked metric
+        # (VERDICT r3 next #5): carry it on the recorded headline line
+        if "cams_per_s" in rig:
+            headline["rig_cams_per_s"] = rig["cams_per_s"]
     except Exception as e:
         print(json.dumps({"detail_waymo_rig": {"error": str(e)[:300]}}),
               file=sys.stderr, flush=True)

@@ -28,7 +28,8 @@ import numpy as np
 CAM_YAWS = [0.0, 0.785, -0.785]
 
 
-def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
+def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000,
+             density=1.0):
     """Street-like gaussian scene in the world (= frame-0 ego) frame:
     x forward, y left, z up. Returns dict incl. per-gaussian velocity.
 
@@ -38,7 +39,16 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
     past the opacity-reset interval (reference train.py:502-509,
     gaussian_model.prune), so a scene of 30-px splats — an earlier
     version of this generator — faithfully COLLAPSES at iteration
-    3000+. Real Waymo scenes sit well under that prior."""
+    3000+. Real Waymo scenes sit well under that prior.
+
+    ``density`` scales point counts by the factor and splat σ by
+    1/√density (coverage-preserving) — density 4 approximates the real
+    1.5M-LiDAR-init statistics the 20-px prior is tuned for (the
+    opacity-reset stability scenario, BASELINE.md)."""
+    n_ground = int(n_ground * density)
+    n_build = int(n_build * density)
+    n_car = int(n_car * density)
+    smul = float(density) ** -0.5
     # ground: textured plane z≈0 under the ego (cameras sit at z=2)
     gx = rng.uniform(-5, 120, n_ground)
     gy = rng.uniform(-12, 12, n_ground)
@@ -47,8 +57,8 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
     g_col = np.stack([0.25 + 0.4 * checker,
                       0.25 + 0.3 * checker,
                       0.25 + 0.1 * checker], 1)
-    g_scale = np.full((n_ground, 3), 0.14)
-    g_scale[:, 2] = 0.02
+    g_scale = np.full((n_ground, 3), 0.14 * smul)
+    g_scale[:, 2] = 0.02 * smul
 
     # "buildings": boxes of gaussians lining both sides
     bx = rng.uniform(0, 120, n_build)
@@ -60,7 +70,7 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
                       0.3 + 0.2 * (hue == 1) + 0.1 * np.cos(bx / 7),
                       0.3 + 0.2 * (hue == 2)], 1)
     b_col = np.clip(b_col, 0, 1)
-    b_scale = np.full((n_build, 3), 0.16)
+    b_scale = np.full((n_build, 3), 0.16 * smul)
 
     # moving "cars": three clusters driving at different speeds
     cars = []
@@ -78,7 +88,7 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
         col_c.append(np.tile(np.asarray(col), (n_per, 1)))
         vel[n_ground + n_build + i * n_per:
             n_ground + n_build + (i + 1) * n_per, :2] = car_vel[i]
-    c_scale = np.full((n_per * 3, 3), 0.12)
+    c_scale = np.full((n_per * 3, 3), 0.12 * smul)
 
     pts = np.concatenate([np.stack([gx, gy, gz], 1),
                           np.stack([bx, by, bz], 1)] + pts_c, 0)
@@ -102,7 +112,8 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000):
 
 
 def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
-               ego_step: float = 2.0):
+               ego_step: float = 2.0, lidar_cap: int = 30_000,
+               budget_mul: int = 1):
     """Waymo-layout clip: calib, poses, lidar (from the GT points), and GT
     images rendered from the known gaussian scene with the frame's
     displaced positions."""
@@ -139,8 +150,8 @@ def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
     fovx, fovy = focal2fov(fx, w), focal2fov(fy, h)
     proj = projection_matrix(0.01, 100.0, fovx, fovy)
 
-    cfg = RasterConfig(max_visible=1 << 16, rect_w=6, rect_h=6,
-                       pair_budget=1 << 21)
+    cfg = RasterConfig(max_visible=(1 << 16) * budget_mul, rect_w=6,
+                       rect_h=6, pair_budget=(1 << 21) * budget_mul)
     settings_base = dict(image_height=h, image_width=w,
                          tanfovx=float(np.tan(fovx / 2)),
                          tanfovy=float(np.tan(fovy / 2)),
@@ -158,7 +169,7 @@ def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
         pts_ego = means_t - ego[:3, 3]
         keep = (pts_ego[:, 0] > -2) & (pts_ego[:, 0] < 80)
         sub = rng.choice(np.where(keep)[0],
-                         min(30_000, int(keep.sum())), replace=False)
+                         min(lidar_cap, int(keep.sum())), replace=False)
         rows = np.zeros((len(sub), 10), np.float32)
         rows[:, 3:6] = pts_ego[sub]
         rows[:, 6] = ground_label(pts_ego[sub]).astype(np.float32)
@@ -230,15 +241,21 @@ def main(argv=None):
                         "--fine to keep short synthetic runs out of that "
                         "regime.")
     p.add_argument("--model_path", default="")
+    p.add_argument("--density", type=float, default=1.0,
+                   help="scale GT point counts by this and splat σ by "
+                        "1/√density; 4 ≈ the real 1.5M-LiDAR statistics "
+                        "the 20-px reset prune is tuned for")
     # unknown flags pass through to the training CLI (--size_prune_cap,
     # --cull_before_deform, --configs ... — anything train.py accepts)
     args, train_extra = p.parse_known_args(argv)
 
     rng = np.random.default_rng(args.seed)
     if not os.path.exists(os.path.join(args.out, "frame_info.json")):
-        print(f"generating mini clip at {args.out}")
-        scene = gt_scene(rng)
-        write_clip(args.out, scene, args.frames, args.h, args.w, rng)
+        print(f"generating mini clip at {args.out} (density {args.density})")
+        scene = gt_scene(rng, density=args.density)
+        write_clip(args.out, scene, args.frames, args.h, args.w, rng,
+                   lidar_cap=int(30_000 * args.density),
+                   budget_mul=max(1, int(np.ceil(args.density))))
     else:
         print(f"clip exists at {args.out}")
 
@@ -247,7 +264,7 @@ def main(argv=None):
         model_path = args.model_path or os.path.join(args.out, "recon")
         train_cli.main([
             "-s", args.out, "--model_path", model_path,
-            "--num_pts", "120000",
+            "--num_pts", str(int(120000 * args.density)),
             "--coarse_iterations", str(args.coarse),
             "--iterations", str(args.fine),
             "--densify_from_iter", "100",

@@ -129,7 +129,10 @@ def test_train_cli_waymo_perf_preset(tmp_path):
         dumped = ast.literal_eval(f.read())
     assert dumped["cull_before_deform"] is True
     assert dumped["multicam"] == 3
-    assert dumped["multicam_lr_scale"] == 0.5774
+    # r4 preset: reference LRs unscaled — per-camera densify stats are
+    # the measured divergence fix (BASELINE.md r4), not LR scaling
+    assert dumped["multicam_lr_scale"] == 1.0
+    assert dumped["multicam_percam_stats"] == 1
     assert dumped["net_width"] == 16  # tiny_config hexplane override
 
 
