@@ -326,14 +326,15 @@ def main():
     try:
         rig = run_workload(
             n=1_500_000, cap=1_507_328, pair_budget=1 << 23,
-            big_budget=int(os.environ.get("BENCH_RIG_BIG_BUDGET", "0")),
+            big_budget=int(os.environ.get("BENCH_RIG_BIG_BUDGET",
+                                          "131072")),
             chunk=int(os.environ.get("BENCH_CHUNK", "128")),
             scan_n=int(os.environ.get("BENCH_SCAN", "10")),
             n_steps=int(os.environ.get("BENCH_STEPS", "20")),
             render_fps_too=False, multicam=3, remat=True,
             scene="street360", cull=True,
             max_visible=int(os.environ.get("BENCH_RIG_MAX_VISIBLE",
-                                           "786432")))
+                                           "589824")))
         print(json.dumps({"detail_waymo_rig": rig}), file=sys.stderr,
               flush=True)
         # the production-rig throughput is a first-class tracked metric
