@@ -219,6 +219,41 @@ def write_clip(out: str, scene, n_frames: int, h: int, w: int, rng,
         json.dump({"frames": n_frames, "source": "mini_clip_synthetic"}, f)
 
 
+def train_args(args, model_path):
+    """Training-CLI argv for a generated clip, with density-aware budgets:
+    the pool cap leaves ~2x densify headroom over the init count (bounded
+    by the measured 16 GB-HBM feasibility point, BASELINE.md "Measured at
+    the cap"), the visible budget scales with the init count (bounded at
+    the rig-measured 589824+ ceiling), and the pair budget scales with
+    the visible budget (4x4 rect clamp).  Density >= 2 turns on
+    deformation remat.  Keeps the documented opacity-reset scenario
+    (--density 4 --reset_interval 3000) runnable without hand-tuned
+    overrides; density-1 budgets are unchanged from rounds 2-4, and
+    explicit flags appended by the caller still win (argparse last-wins).
+    """
+    dmul = max(1.0, args.density)
+    cargs = [
+        "-s", args.out, "--model_path", model_path,
+        "--num_pts", str(int(120000 * args.density)),
+        "--coarse_iterations", str(args.coarse),
+        "--iterations", str(args.fine),
+        "--densify_from_iter", "100",
+        "--densify_until_iter", str(max(args.fine - 300, 200)),
+        "--checkpoint_iterations", str(args.fine),
+        "--stride", str(args.stride),
+        "--opacity_reset_interval", str(args.reset_interval),
+        "--load_h", str(args.h), "--load_w", str(args.w),
+        "--max_points", str(max(500_000, min(int(250_000 * dmul),
+                                             1_200_000))),
+        "--max_visible", str(min(int((1 << 17) * dmul), 786_432)),
+        "--rect_w", "4", "--rect_h", "4",
+        "--pair_budget", str(min(int((1 << 22) * dmul), 1 << 23)),
+    ]
+    if args.density >= 2:
+        cargs.append("--remat_deform")
+    return cargs
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="/tmp/mini_clip")
@@ -262,20 +297,7 @@ def main(argv=None):
     if args.train:
         import train as train_cli
         model_path = args.model_path or os.path.join(args.out, "recon")
-        train_cli.main([
-            "-s", args.out, "--model_path", model_path,
-            "--num_pts", str(int(120000 * args.density)),
-            "--coarse_iterations", str(args.coarse),
-            "--iterations", str(args.fine),
-            "--densify_from_iter", "100",
-            "--densify_until_iter", str(max(args.fine - 300, 200)),
-            "--checkpoint_iterations", str(args.fine),
-            "--stride", str(args.stride),
-            "--opacity_reset_interval", str(args.reset_interval),
-            "--load_h", str(args.h), "--load_w", str(args.w),
-            "--max_visible", str(1 << 17), "--rect_w", "4", "--rect_h", "4",
-            "--pair_budget", str(1 << 22),
-        ] + train_extra)
+        train_cli.main(train_args(args, model_path) + train_extra)
 
 
 if __name__ == "__main__":

@@ -12,7 +12,47 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
 
-from mini_clip import gt_scene
+from mini_clip import gt_scene, train_args
+
+
+def _argv_dict(argv):
+    d, i = {}, 0
+    while i < len(argv):
+        if argv[i].startswith("-") and i + 1 < len(argv) \
+                and not argv[i + 1].startswith("-"):
+            d[argv[i]] = argv[i + 1]
+            i += 2
+        else:
+            d[argv[i]] = True
+            i += 1
+    return d
+
+
+def test_train_args_density_scaled_budgets():
+    """Density-1 budgets are pinned to the historical values; density 4
+    (the opacity-reset stability scenario) scales pool/visible/pair
+    budgets and turns on deformation remat, with no manual overrides."""
+    from types import SimpleNamespace
+    base = dict(out="/tmp/x", coarse=300, fine=5000, stride=0,
+                reset_interval=3000, h=640, w=960)
+    d1 = _argv_dict(train_args(SimpleNamespace(density=1.0, **base), "/m"))
+    assert d1["--num_pts"] == "120000"
+    assert d1["--max_points"] == "500000"
+    assert d1["--max_visible"] == str(1 << 17)
+    assert d1["--pair_budget"] == str(1 << 22)
+    assert "--remat_deform" not in d1
+
+    d4 = _argv_dict(train_args(SimpleNamespace(density=4.0, **base), "/m"))
+    assert d4["--num_pts"] == "480000"
+    # pool cap gives ~2x densify headroom over the init count but stays
+    # under the measured single-chip HBM feasibility point (1.5M)
+    assert 480000 < int(d4["--max_points"]) == 1_000_000 < 1_500_000
+    assert int(d4["--max_visible"]) == 4 * (1 << 17)
+    assert int(d4["--pair_budget"]) == 1 << 23   # capped
+    assert d4["--remat_deform"] is True
+    # densify window and reset cadence pass through unchanged
+    assert d4["--opacity_reset_interval"] == "3000"
+    assert d4["--densify_until_iter"] == "4700"
 
 
 def test_density_scales_counts_and_shrinks_splats():
