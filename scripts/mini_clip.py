@@ -29,9 +29,18 @@ CAM_YAWS = [0.0, 0.785, -0.785]
 
 
 def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000,
-             density=1.0):
+             density=1.0, car_mul=1.0, car_speed=1.0, car_size=1.0):
     """Street-like gaussian scene in the world (= frame-0 ego) frame:
     x forward, y left, z up. Returns dict incl. per-gaussian velocity.
+
+    ``car_mul``/``car_speed``/``car_size`` scale the dynamic content
+    (cluster point count / velocity / spatial+splat extent) for the
+    flow-transport probes (BASELINE.md "flow EPE"): at the defaults the
+    cars cover ~1% of pixels and move ~170 px/frame (≫ splat size, so
+    photometric gradients cannot track them); a slow-big-car clip
+    (e.g. car_speed 0.1, car_size 2.5, car_mul 4) puts per-frame screen
+    motion at the splat scale where learned transport is gradient-
+    reachable. Defaults reproduce rounds 2-4 clips bit-exactly.
 
     Scales are sized to REAL converged-street statistics (σ ≈ 0.1 m →
     ≤ ~10 px at typical depths): the standard 3DGS density control
@@ -47,7 +56,7 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000,
     opacity-reset stability scenario, BASELINE.md)."""
     n_ground = int(n_ground * density)
     n_build = int(n_build * density)
-    n_car = int(n_car * density)
+    n_car = int(n_car * density * car_mul)
     smul = float(density) ** -0.5
     # ground: textured plane z≈0 under the ego (cameras sit at z=2)
     gx = rng.uniform(-5, 120, n_ground)
@@ -75,20 +84,21 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000,
     # moving "cars": three clusters driving at different speeds
     cars = []
     car_cols = [(0.8, 0.1, 0.1), (0.1, 0.2, 0.8), (0.9, 0.8, 0.2)]
-    car_vel = [(4.0, 0.0), (-3.0, 0.0), (5.0, 0.0)]   # m/frame in x,y
+    car_vel = [(4.0 * car_speed, 0.0), (-3.0 * car_speed, 0.0),
+               (5.0 * car_speed, 0.0)]              # m/frame in x,y
     n_per = n_car // 3
     vel = np.zeros((n_ground + n_build + n_per * 3, 3))
     pts_c, col_c = [], []
     for i, ((cx, cy), col) in enumerate(zip([(25, 4), (60, -4), (40, 0)],
                                             car_cols)):
-        px = cx + rng.uniform(-2.2, 2.2, n_per)
-        py = cy + rng.uniform(-1.0, 1.0, n_per)
-        pz = 0.4 + rng.uniform(0, 1.4, n_per)
+        px = cx + rng.uniform(-2.2 * car_size, 2.2 * car_size, n_per)
+        py = cy + rng.uniform(-1.0 * car_size, 1.0 * car_size, n_per)
+        pz = 0.4 + rng.uniform(0, 1.4 * car_size, n_per)
         pts_c.append(np.stack([px, py, pz], 1))
         col_c.append(np.tile(np.asarray(col), (n_per, 1)))
         vel[n_ground + n_build + i * n_per:
             n_ground + n_build + (i + 1) * n_per, :2] = car_vel[i]
-    c_scale = np.full((n_per * 3, 3), 0.12 * smul)
+    c_scale = np.full((n_per * 3, 3), 0.12 * smul * car_size)
 
     pts = np.concatenate([np.stack([gx, gy, gz], 1),
                           np.stack([bx, by, bz], 1)] + pts_c, 0)
@@ -102,9 +112,10 @@ def gt_scene(rng, n_ground=48_000, n_build=32_000, n_car=6_000,
     # each car cluster is a rigid box translating at constant velocity;
     # half-extents pad the sampling extents by 3σ of the splat scale
     boxes = [
-        {"center0": [float(cx), float(cy), 1.1],
+        {"center0": [float(cx), float(cy), 0.4 + 0.7 * car_size],
          "vel": [float(vx), float(vy), 0.0],
-         "half": [2.6, 1.4, 1.1]}
+         "half": [(2.2 + 0.4) * car_size, (1.0 + 0.4) * car_size,
+                  (0.7 + 0.4) * car_size]}
         for (cx, cy), (vx, vy) in zip([(25, 4), (60, -4), (40, 0)], car_vel)]
     return dict(pts=pts.astype(np.float32), cols=cols.astype(np.float32),
                 scales=scales.astype(np.float32), quats=quats,
@@ -280,6 +291,13 @@ def main(argv=None):
                    help="scale GT point counts by this and splat σ by "
                         "1/√density; 4 ≈ the real 1.5M-LiDAR statistics "
                         "the 20-px reset prune is tuned for")
+    p.add_argument("--car_mul", type=float, default=1.0,
+                   help="multiply the dynamic (car) point count")
+    p.add_argument("--car_speed", type=float, default=1.0,
+                   help="multiply car velocities (m/frame); ~0.1 puts "
+                        "per-frame screen motion at the splat scale")
+    p.add_argument("--car_size", type=float, default=1.0,
+                   help="multiply car spatial extents and splat σ")
     # unknown flags pass through to the training CLI (--size_prune_cap,
     # --cull_before_deform, --configs ... — anything train.py accepts)
     args, train_extra = p.parse_known_args(argv)
@@ -287,7 +305,8 @@ def main(argv=None):
     rng = np.random.default_rng(args.seed)
     if not os.path.exists(os.path.join(args.out, "frame_info.json")):
         print(f"generating mini clip at {args.out} (density {args.density})")
-        scene = gt_scene(rng, density=args.density)
+        scene = gt_scene(rng, density=args.density, car_mul=args.car_mul,
+                         car_speed=args.car_speed, car_size=args.car_size)
         write_clip(args.out, scene, args.frames, args.h, args.w, rng,
                    lidar_cap=int(30_000 * args.density),
                    budget_mul=max(1, int(np.ceil(args.density))))

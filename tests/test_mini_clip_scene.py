@@ -67,6 +67,41 @@ def test_density_scales_counts_and_shrinks_splats():
     assert np.allclose(r4["scales"].max(), r1["scales"].max() / 2, rtol=1e-6)
 
 
+def test_car_knobs_default_identity_and_scaling():
+    """--car_mul/--car_speed/--car_size (the flow-transport probe knobs)
+    are bit-identical no-ops at 1.0, and scale count/velocity/extent with
+    GT boxes tracking the scaled clusters."""
+    base = gt_scene(np.random.default_rng(3))
+    same = gt_scene(np.random.default_rng(3),
+                    car_mul=1.0, car_speed=1.0, car_size=1.0)
+    assert np.array_equal(base["pts"], same["pts"])
+    assert np.array_equal(base["vel"], same["vel"])
+    assert base["gt_boxes"] == same["gt_boxes"]
+
+    probe = gt_scene(np.random.default_rng(3),
+                     car_mul=4.0, car_speed=0.1, car_size=2.5)
+    moving_b = np.abs(base["vel"]).sum(1) > 0
+    moving_p = np.abs(probe["vel"]).sum(1) > 0
+    assert moving_p.sum() == 4 * moving_b.sum()
+    assert np.isclose(np.abs(probe["vel"][:, 0]).max(),
+                      0.1 * np.abs(base["vel"][:, 0]).max())
+    # car splats grow with car_size (ground/build stay at 0.16)
+    assert np.isclose(float(probe["scales"].max()), 0.12 * 2.5)
+    # boxes cover the scaled clusters and carry the scaled velocity
+    pts = probe["pts"][moving_p]
+    vels = probe["vel"][moving_p]
+    covered = np.zeros(len(pts), bool)
+    for b in probe["gt_boxes"]:
+        c = np.asarray(b["center0"])
+        h = np.asarray(b["half"])
+        inside = np.all(np.abs(pts - c) <= h + 1e-6, axis=1)
+        covered |= inside
+        if inside.any():
+            assert np.allclose(vels[inside][:, :2],
+                               np.asarray(b["vel"])[:2], atol=1e-6)
+    assert covered.all()
+
+
 def test_gt_boxes_cover_moving_points_at_any_density():
     for d in (1.0, 2.0):
         sc = gt_scene(np.random.default_rng(1), density=d)
