@@ -108,8 +108,10 @@ class OptimizationParams:
     # reference-faithful batch semantics; ~1/sqrt(B) is the classical
     # noise-matched correction.
     multicam_lr_scale: float = 1.0
-    # Per-camera densification statistics for the multicam step (int as a
-    # CLI-overridable bool; 1 = on).  The naive batch semantics (norm of
+    # Per-camera densification statistics for EVERY batched-view seam —
+    # the multicam rig step AND the shard_map data-parallel camera batch
+    # (int as a CLI-overridable bool; 1 = on).  The naive batch
+    # semantics (norm of
     # the SUMMED screen gradient, denom += union-visible — what the
     # reference's batch>1 path computes at train.py:435-437, though its
     # shipping configs run batch_size=1) systematically deflate the

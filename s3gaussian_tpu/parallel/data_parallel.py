@@ -57,7 +57,24 @@ def _device_step(state: TrainState, cam: Camera, active_sh_degree,
     # cross-device reductions (the batched-loss gradient is the mean)
     pgrads = jax.tree_util.tree_map(
         lambda g: jax.lax.psum(g, "data") / n_dev, pgrads)
-    tap_grad = jax.lax.psum(tap_grad, "data")
+    if bool(opt.multicam_percam_stats):
+        # per-view densify stats (the flag governs EVERY batched-view
+        # seam, DP camera batches included): norm each device's own
+        # screen gradient BEFORE the cross-device sum, and count the
+        # devices that actually saw each point as the denominator.
+        # Summing the raw vectors instead (the else-branch / r3
+        # semantics) lets opposing-view gradients cancel inside the norm
+        # while the union-visibility denom deflates the average — the
+        # mechanism measured as the r3 multicam divergence
+        # (config.py multicam_percam_stats; BASELINE.md r4 bisect legs
+        # BN vs BP), and it is identical here with cameras spread over
+        # devices rather than over a rig.
+        tap_grad = jax.lax.psum(
+            jnp.linalg.norm(tap_grad[..., :2], axis=-1), "data")
+        vis_count = jax.lax.psum(aux["visible"].astype(jnp.int32), "data")
+    else:
+        tap_grad = jax.lax.psum(tap_grad, "data")
+        vis_count = None
     loss = jax.lax.pmean(loss, "data")
     radii = jax.lax.pmax(aux["radii"], "data")
     visible = jax.lax.pmax(aux["visible"].astype(jnp.int32), "data") > 0
@@ -71,7 +88,7 @@ def _device_step(state: TrainState, cam: Camera, active_sh_degree,
 
     new_state = apply_param_update(state, params, pgrads, tap_grad,
                                    loss, radii, visible, opt,
-                                   spatial_lr_scale)
+                                   spatial_lr_scale, vis_count=vis_count)
     return new_state, {"metrics": metrics, **counters}
 
 

@@ -195,6 +195,48 @@ def test_parallel_densify_reset_cadence_matches_serial():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
+def test_parallel_percam_stats_match_serial_multicam_distinct_cams():
+    """With DISTINCT cameras across devices, the DP step's densify stats
+    must use per-view semantics (norm-before-sum + visible-view-count
+    denom), not the r3 batch-summed semantics root-caused as the multicam
+    divergence (config.py multicam_percam_stats).  A DP batch [c1, c2] and
+    a serial multicam rig [c1, c2] evaluate the same B-mean loss at the
+    same params, so the full post-step state — pool params AND stats —
+    must match exactly."""
+    from s3gaussian_tpu.train.trainer import clone_state, train_step_multicam
+    from test_multicam import shifted_camera
+
+    n_dev = 2
+    mesh = make_mesh(n_dev)
+    state, camera, hp, pipe, bg = helpers.setup(seed=9)
+    opt = OptimizationParams()
+    assert opt.multicam_percam_stats == 1   # per-view is the default
+    cams = [camera, shifted_camera(camera, 0.3)]
+
+    s_mc, _ = train_step_multicam(clone_state(state), stack_cameras(cams),
+                                  2, "fine", 0, hp, opt, pipe, helpers.CFG,
+                                  1.0, bg)
+
+    step = make_parallel_train_step(mesh, "fine", hp, opt, pipe,
+                                    helpers.CFG, 1.0)
+    sp = replicate_state(state, mesh)
+    batch = shard_camera_batch(stack_cameras(cams), mesh)
+    s_dp, _ = step(sp, batch, jnp.asarray(0, jnp.int32), bg)
+
+    np.testing.assert_allclose(np.asarray(s_dp.stats.xyz_grad_accum),
+                               np.asarray(s_mc.stats.xyz_grad_accum),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_array_equal(np.asarray(s_dp.stats.denom),
+                                  np.asarray(s_mc.stats.denom))
+    np.testing.assert_allclose(np.asarray(s_dp.stats.max_radii2d),
+                               np.asarray(s_mc.stats.max_radii2d),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(s_dp.pool.xyz),
+                               np.asarray(s_mc.pool.xyz),
+                               rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 2, reason="needs multi-device mesh")
 def test_parallel_multicam_matches_serial_multicam():
     """Multicam x DP composition (SURVEY §5.8a): with the same rig group on
     every device, one DP-multicam step == one serial train_step_multicam
