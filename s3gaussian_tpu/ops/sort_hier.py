@@ -115,7 +115,9 @@ def hier_sort(rows, num_cmp: int = 1, chunk_log2: int = 19):
     lexicographic order of the first ``num_cmp`` rows, carrying the rest
     as payloads.  The cmp prefix must be a total order (unique) — then the
     result is bit-identical to stable ``jax.lax.sort(rows, num_keys=
-    num_cmp)``.  Pads to a power-of-two multiple of the chunk internally.
+    num_cmp)``.  Pads to a power-of-two multiple of the chunk internally;
+    cmp values equal to the pad sentinel (dtype max / +inf) are safe —
+    pads carry an explicit tiebreaker flag row.
     """
     rows = list(rows)
     m = rows[0].shape[0]
@@ -127,8 +129,20 @@ def hier_sort(rows, num_cmp: int = 1, chunk_log2: int = 19):
     n_chunks = -(-m // c)
     n_pow2 = 1 << (n_chunks - 1).bit_length()
     m_pad = n_pow2 * c
-    if m_pad != m:
+    has_flag = m_pad != m
+    if has_flag:
         rows = _pad_values(rows, num_cmp, m_pad - m)
+        # Pad-tie guard: a REAL cmp prefix may legitimately equal the pad
+        # sentinel (dtype max / +inf).  Bitonic merges are not stable, so
+        # on such a tie a pad row could sort AHEAD of the real row and the
+        # final [:m] truncation would replace the real payload with the
+        # pad's zeros.  An extra final cmp row (0 = real, 1 = pad) breaks
+        # every real-vs-pad tie in the real row's favor and is a no-op
+        # between real rows; it only exists when padding does.
+        flag = jnp.concatenate([jnp.zeros(m, jnp.int8),
+                                jnp.ones(m_pad - m, jnp.int8)])
+        rows.insert(num_cmp, flag)
+        num_cmp += 1
 
     rows = _chunk_sort(rows, num_cmp, c)
     run = c
@@ -141,6 +155,7 @@ def hier_sort(rows, num_cmp: int = 1, chunk_log2: int = 19):
         if c > 1:
             rows = _chunk_sort(rows, num_cmp, c)
         run *= 2
-    if m_pad != m:
+    if has_flag:
+        rows.pop(num_cmp - 1)
         rows = [r[:m] for r in rows]
     return tuple(rows)

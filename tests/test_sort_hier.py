@@ -63,6 +63,37 @@ def test_float_keys():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
 
+@pytest.mark.parametrize("m,chunk_log2", [(130, 5), (513, 7), (70000, 10)])
+def test_real_key_equal_to_pad_sentinel_survives(m, chunk_log2):
+    """Regression: a REAL cmp value equal to the pad sentinel (dtype max /
+    +inf) must not lose its payload to a pad row on truncation — bitonic
+    merges are unstable on ties, so pads carry a tiebreaker flag."""
+    for seed in range(10):
+        rng = np.random.default_rng(seed)
+        keys_np = rng.permutation(m).astype(np.int32)
+        keys_np[keys_np.argmax()] = np.iinfo(np.int32).max  # sentinel key
+        keys = jnp.asarray(keys_np)
+        pay = jnp.asarray(rng.integers(1, 2**31 - 1, size=m,
+                                       dtype=np.int32))
+        got = hier_sort((keys, pay), num_cmp=1, chunk_log2=chunk_log2)
+        want = _ref((keys, pay), num_keys=1)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # float variant: +inf as a real key (keys drawn from a permutation so
+    # they stay unique — float32 normal draws collide at m=70000, which
+    # would make the payload order legitimately unspecified)
+    rng = np.random.default_rng(99)
+    fk = rng.permutation(m).astype(np.float32)
+    fk[0] = np.inf
+    fkeys = jnp.asarray(fk)
+    slot = jnp.arange(m, dtype=jnp.int32)
+    got = hier_sort((fkeys, slot), num_cmp=1, chunk_log2=chunk_log2)
+    want = _ref((fkeys, slot), num_keys=1)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 def test_single_chunk_fast_path():
     m = 50
     keys = jnp.asarray(np.random.default_rng(1).permutation(m), jnp.uint32)
