@@ -329,6 +329,12 @@ def render_pixels(cameras, pool, deform, hp, pipe, bg, aabb,
             vals = [x for x in v if x is not None]
             summary[k] = float(np.mean(vals)) if vals else None
         result["metrics"] = summary
+        # per-view values, index-aligned with ``cameras`` (None where a
+        # view had no GT) — the worst-view diagnostic in
+        # scripts/eval_per_view.py attributes PSNR tails with these
+        result["metrics_per_view"] = {
+            k: [None if x is None else float(x) for x in v]
+            for k, v in metrics.items()}
     return result
 
 

@@ -70,11 +70,15 @@ def main(argv=None):
     frames = render_pixels(cams, state.pool, state.deform, hyper, pipe, bg,
                            state.aabb, 3, stage, cfg,
                            return_decomposition=False)
-    psnrs = np.asarray(frames["metrics"]["psnr"], dtype=np.float64)
+    per_view = frames["metrics_per_view"]["psnr"]
+    pairs = [(i, v) for i, v in enumerate(per_view) if v is not None]
+    if not pairs:
+        raise SystemExit("no views with GT images to score")
+    psnrs = np.asarray([v for _, v in pairs], dtype=np.float64)
     rows = sorted(
         ({"view": i, "frame": i // 3, "cam": i % 3,
           "time": round(float(cams[i].time), 4),
-          "psnr": round(float(v), 2)} for i, v in enumerate(psnrs)),
+          "psnr": round(float(v), 2)} for i, v in pairs),
         key=lambda r: r["psnr"])
     print(json.dumps({
         "n_views": len(psnrs),

@@ -240,15 +240,21 @@ def main(argv=None):
         # divergence bisect (BASELINE.md round-4 multicam section).
         seq_frame_order = bool(os.environ.get("S3G_SEQ_FRAME_ORDER"))
 
+        def group_by_time(cam_list):
+            """Same-timestep view-index groups — the ONE frame-identity
+            definition shared by --multicam rigs and the
+            S3G_SEQ_FRAME_ORDER bisect diagnostic (the comparison is only
+            valid if both group frames identically)."""
+            by_t = {}
+            for i, c in enumerate(cam_list):
+                by_t.setdefault(round(float(c.time), 6), []).append(i)
+            return list(by_t.values())
+
         def pop_cam():
             nonlocal stack
             if not stack:
                 if seq_frame_order:
-                    by_t = {}
-                    for i, c in enumerate(cams):
-                        by_t.setdefault(round(float(c.time), 6),
-                                        []).append(i)
-                    frames = list(by_t.values())
+                    frames = group_by_time(cams)
                     random.shuffle(frames)
                     for g in frames:
                         random.shuffle(g)
@@ -270,10 +276,7 @@ def main(argv=None):
             from s3gaussian_tpu.data.cameras import stack_cameras as _stack_mc
             from s3gaussian_tpu.train.trainer import (
                 train_step_multicam, train_steps_scan_multicam)
-            by_time = {}
-            for i, c in enumerate(cams):
-                by_time.setdefault(round(float(c.time), 6), []).append(i)
-            groups = list(by_time.values())
+            groups = group_by_time(cams)
             gstack = []
 
             def pop_group():
