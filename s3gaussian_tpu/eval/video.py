@@ -346,7 +346,9 @@ def save_videos(frames: Dict[str, List[np.ndarray]], save_pth: str,
     import imageio.v2 as imageio
 
     os.makedirs(save_pth, exist_ok=True)
-    keys = keys or [k for k in frames if k != "metrics"]
+    # frame sequences only — render_pixels also returns dict-valued
+    # entries ("metrics", "metrics_per_view") that must not be sliced
+    keys = keys or [k for k in frames if isinstance(frames[k], list)]
     for key in keys:
         if key not in frames or not frames[key]:
             continue

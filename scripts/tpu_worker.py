@@ -49,6 +49,18 @@ def main():
             # device buffers from earlier jobs (TrainStates, camera blocks)
             # accumulate and shrink the budget of later ones
             ns = {"jax": jax}
+            # drop cached repo modules so a job always sees the working
+            # tree's CURRENT code: this worker lives for hours, and a
+            # stale s3gaussian_tpu module imported by an earlier job
+            # silently shadows commits landed since (jit caches are
+            # per-function objects, so nothing leaks; recompiles hit the
+            # persistent compilation cache)
+            repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            for name in [m for m, mod in list(sys.modules.items())
+                         if getattr(mod, "__file__", None)
+                         and os.path.abspath(mod.__file__).startswith(
+                             repo + os.sep)]:
+                del sys.modules[name]
             buf = io.StringIO()
             try:
                 with contextlib.redirect_stdout(buf), \

@@ -154,15 +154,27 @@ def test_eval_only_smoke(tmp_path, monkeypatch):
     from s3gaussian_tpu.eval import video as video_mod
     video_mod._jit_render.cache_clear()
 
-    train_cli.main([
+    common = [
         "-s", src, "--model_path", out, "--num_pts", "300",
-        "--stride", "2", "--eval_only",
+        "--stride", "2",
         "--max_visible", "2048", "--rect_w", "4", "--rect_h", "4",
         "--chunk", "32", "--max_pairs_per_tile", "512",
         "--load_h", "64", "--load_w", "96",
         "--configs", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                   "tiny_config.py"),
+    ]
+    # --eval_only with no trained checkpoint must refuse loudly, not
+    # silently score the fresh init (the bug that produced garbage eval
+    # numbers in the round-4 flow probes)
+    with pytest.raises(SystemExit, match="no checkpoint"):
+        train_cli.main(common + ["--eval_only"])
+    # a minimal training run to produce the checkpoint the sweep restores
+    train_cli.main(common + [
+        "--coarse_iterations", "4", "--iterations", "8",
+        "--densification_interval", "100", "--checkpoint_iterations", "8",
+        "--bench_iters", "4", "--skip_final_eval",
     ])
+    train_cli.main(common + ["--eval_only"])
     metrics_dir = os.path.join(out, "eval", "metrics")
     assert os.path.isdir(metrics_dir) and len(os.listdir(metrics_dir)) >= 2
     with open(os.path.join(metrics_dir, sorted(os.listdir(metrics_dir))[0])) as f:

@@ -61,3 +61,19 @@ def test_visualizations_produce_valid_images():
     assert rgb.shape == (16, 16, 3)
     assert rgb.min() >= 0 and rgb.max() <= 1
     assert to8b(rgb).dtype == np.uint8
+
+
+def test_save_videos_skips_dict_metric_entries(tmp_path):
+    # regression: render_pixels returns dict-valued "metrics" and
+    # "metrics_per_view" alongside the frame lists; save_videos must
+    # only consume the list entries (it crashed slicing the per-view
+    # dict, breaking every --eval_only sweep)
+    from s3gaussian_tpu.eval.video import save_videos
+    frames = {
+        "rgbs": [np.zeros((8, 12, 3), np.float32)] * 6,
+        "metrics": {"psnr": 30.0},
+        "metrics_per_view": {"psnr": [30.0] * 6},
+    }
+    out = tmp_path / "vids"
+    save_videos(frames, str(out), num_timestamps=2, num_cams=3)
+    assert any(p.name.startswith("rgbs") for p in out.iterdir())

@@ -178,6 +178,19 @@ def main(argv=None):
             args.start_checkpoint, state)
         print(f"resumed from {args.start_checkpoint} at "
               f"{start_stage}:{start_iter}")
+    elif args.eval_only:
+        # --eval_only without an explicit checkpoint means "evaluate the
+        # trained model in model_path" (the reference restores before its
+        # sweep, train.py:630-641); evaluating the fresh init here would
+        # silently score an untrained model
+        found = ckpt.find_checkpoint(model.model_path)
+        if found is None:
+            raise SystemExit(
+                f"--eval_only: no checkpoint under {model.model_path} "
+                "(train first, or pass --start_checkpoint)")
+        path, start_stage, start_iter = found
+        state, start_stage, start_iter = ckpt.load_checkpoint(path, state)
+        print(f"--eval_only: restored {path} ({start_stage}:{start_iter})")
 
     def evaluate(stage, step, st=None):
         st = state if st is None else st
@@ -190,7 +203,8 @@ def main(argv=None):
             write=is_primary())
 
     if args.eval_only:
-        res = evaluate("fine", int(state.step))
+        res = evaluate(start_stage if start_iter else "fine",
+                       int(state.step))
         print(json.dumps(res, indent=2))
         return
 
