@@ -43,6 +43,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from s3gaussian_tpu.data.cameras import Camera
 
 
+def _distributed_active() -> bool:
+    """Whether the JAX distributed client is already up, WITHOUT
+    initializing the XLA backend (jax.process_count() would)."""
+    try:
+        from jax._src import distributed
+        return distributed.global_state.client is not None
+    except Exception:
+        return False
+
+
 def init_multihost(coordinator_address: Optional[str] = None,
                    num_processes: Optional[int] = None,
                    process_id: Optional[int] = None) -> tuple:
@@ -63,7 +73,11 @@ def init_multihost(coordinator_address: Optional[str] = None,
     if process_id is None and os.environ.get("S3G_PROCESS_ID"):
         process_id = int(os.environ["S3G_PROCESS_ID"])
 
-    already = jax.process_count() > 1
+    # N.B. the "already initialized" probe must NOT touch the XLA backend:
+    # jax.process_count() initializes it, and jax.distributed.initialize()
+    # refuses to run after backend init — a defect only a real multi-process
+    # run exposes (the single-process tests never reach initialize()).
+    already = _distributed_active()
     want_multi = (coordinator_address is not None
                   or (num_processes or 1) > 1
                   or os.environ.get("S3G_MULTIHOST_AUTO"))

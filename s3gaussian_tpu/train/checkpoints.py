@@ -34,23 +34,39 @@ def _ckpt_dir(model_path: str, stage: str, iteration: int) -> str:
 
 def save_checkpoint(model_path: str, stage: str, iteration: int,
                     state: TrainState, keep_others: bool = False) -> str:
+    """Save the full TrainState.
+
+    COLLECTIVE in multi-process runs: orbax's save/wait barriers span
+    every process, so ALL processes must call this (each contributes its
+    addressable shards; replicated arrays are written by the primary
+    replica).  Gating the call on ``is_primary()`` deadlocks — measured
+    by scripts/multihost_localhost.py in round 5.  The host-side extras
+    (STAGE marker, old-checkpoint cleanup) run on process 0 only, and a
+    final barrier keeps any process from reading a half-written
+    checkpoint directory."""
+    import jax
     import orbax.checkpoint as ocp
 
     path = _ckpt_dir(model_path, stage, iteration)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.abspath(path), state, force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(path, "STAGE"), "w") as f:
-        f.write(f"{stage} {iteration}")
-    # delete older checkpoints only AFTER the new one is fully on disk —
-    # a crash/preemption mid-save must never leave zero resumable
-    # checkpoints (the reference deletes first, train.py:526-528; that
-    # order loses the run on preemptible workers)
-    if not keep_others:
-        for d in os.listdir(model_path) if os.path.isdir(model_path) else []:
-            full = os.path.join(model_path, d)
-            if d.startswith("chkpnt_") and full != path:
-                shutil.rmtree(full, ignore_errors=True)
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "STAGE"), "w") as f:
+            f.write(f"{stage} {iteration}")
+        # delete older checkpoints only AFTER the new one is fully on disk —
+        # a crash/preemption mid-save must never leave zero resumable
+        # checkpoints (the reference deletes first, train.py:526-528; that
+        # order loses the run on preemptible workers)
+        if not keep_others:
+            dirs = os.listdir(model_path) if os.path.isdir(model_path) else []
+            for d in dirs:
+                full = os.path.join(model_path, d)
+                if d.startswith("chkpnt_") and full != path:
+                    shutil.rmtree(full, ignore_errors=True)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("s3g_ckpt_save")
     return path
 
 
@@ -110,15 +126,26 @@ def transplant_deformation(path: str, state: TrainState) -> TrainState:
                       aabb=state.aabb, nan_skips=state.nan_skips)
 
 
+def _np(a) -> np.ndarray:
+    """Host value of an array that may be replicated across processes.
+
+    ``np.asarray`` raises on non-fully-addressable (multi-process) arrays;
+    for REPLICATED sharding every addressable shard holds the full value,
+    so shard 0 of this process is the array."""
+    if hasattr(a, "is_fully_addressable") and not a.is_fully_addressable:
+        return np.asarray(a.addressable_shards[0].data)
+    return np.asarray(a)
+
+
 def save_ply_pool(path: str, pool: GaussianPool) -> None:
     """Alive rows in the Inria attribute layout."""
-    alive = np.asarray(pool.alive)
-    xyz = np.asarray(pool.xyz)[alive]
-    f_dc = np.asarray(pool.features_dc)[alive]
-    f_rest = np.asarray(pool.features_rest)[alive]
-    op = np.asarray(pool.opacity)[alive]
-    sc = np.asarray(pool.scaling)[alive]
-    rot = np.asarray(pool.rotation)[alive]
+    alive = _np(pool.alive)
+    xyz = _np(pool.xyz)[alive]
+    f_dc = _np(pool.features_dc)[alive]
+    f_rest = _np(pool.features_rest)[alive]
+    op = _np(pool.opacity)[alive]
+    sc = _np(pool.scaling)[alive]
+    rot = _np(pool.rotation)[alive]
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     write_ply(path, gaussian_ply_fields(xyz, f_dc, f_rest, op, sc, rot))
 

@@ -336,6 +336,23 @@ def _train_step_impl(state: TrainState, camera: Camera, stage: str,
     return new_state, aux
 
 
+def _small_aux(aux):
+    """Per-step scalars a scanned block carries out (full [cap] arrays
+    would make the scan output step-count × pool-sized).  radii_max /
+    n_r20 summarize the current screen-radius distribution — the 20-px
+    threshold is the post-reset size-prune prior (reference
+    train.py:502-509), so n_r20 counts points that WOULD be size-pruned."""
+    radii = aux["radii"].astype(jnp.float32)
+    vis = aux["visible"]
+    return {"metrics": aux["metrics"],
+            "n_pairs": aux["n_pairs"],
+            "overflow_rect": aux["overflow_rect"],
+            "overflow_visible": aux["overflow_visible"],
+            "overflow_pairs": aux["overflow_pairs"],
+            "radii_max": jnp.max(jnp.where(vis, radii, 0.0)),
+            "n_r20": jnp.sum(((radii > 20.0) & vis).astype(jnp.int32))}
+
+
 # active_sh_degree is NOT static: the SH evaluation band-masks on a traced
 # degree (ops/sh.py:eval_sh_dynamic), so the oneupSHdegree schedule
 # (reference train.py:324-325) does not trigger 4 recompiles per stage.
@@ -412,12 +429,7 @@ def train_steps_scan_multicam(state: TrainState, camera_blocks: Camera,
         s2, aux = _train_step_multicam_impl(
             s, cams, n_cams, stage, active_sh_degree, hp, opt, pipe, cfg,
             spatial_lr_scale, bg, use_custom_vjp)
-        small = {"metrics": aux["metrics"],
-                 "n_pairs": aux["n_pairs"],
-                 "overflow_rect": aux["overflow_rect"],
-                 "overflow_visible": aux["overflow_visible"],
-                 "overflow_pairs": aux["overflow_pairs"]}
-        return s2, small
+        return s2, _small_aux(aux)
 
     return jax.lax.scan(body, state, camera_blocks)
 
@@ -444,12 +456,7 @@ def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
         s2, aux = _train_step_impl(s, cam, stage, active_sh_degree, hp, opt,
                                    pipe, cfg, spatial_lr_scale, bg,
                                    use_custom_vjp)
-        small = {"metrics": aux["metrics"],
-                 "n_pairs": aux["n_pairs"],
-                 "overflow_rect": aux["overflow_rect"],
-                 "overflow_visible": aux["overflow_visible"],
-                 "overflow_pairs": aux["overflow_pairs"]}
-        return s2, small
+        return s2, _small_aux(aux)
 
     return jax.lax.scan(body, state, cameras)
 
@@ -494,6 +501,68 @@ def opacity_reset_step(state: TrainState):
                       adam=AdamState(mu=mu, nu=nu, count=state.adam.count),
                       stats=state.stats, step=state.step, aabb=state.aabb,
                       nan_skips=state.nan_skips)
+
+
+@functools.partial(jax.jit, static_argnames=("opt", "spatial_lr_scale"))
+def probe_pool(state: TrainState, opt: OptimizationParams,
+               spatial_lr_scale: float):
+    """Diagnostic scalar snapshot of pool/optimizer health.
+
+    Instrumentation for the long-horizon-oscillation investigation
+    (BASELINE.md round 5): masked quantiles of the activated opacity and
+    world scale, the accumulated max screen radius, and per-param-group
+    Adam *effective step sizes* — lr · mean_alive |m̂ / (√v̂ + ε)|, i.e.
+    how far Adam actually moves each group per step regardless of raw
+    gradient magnitude.  Called off the hot path (log cadence) when
+    ``S3G_PROBE=1``; appended to logger.json under ``probe``.
+    """
+    from s3gaussian_tpu.train.optim import B1, B2, EPS
+
+    alive = state.pool.alive
+    op = jax.nn.sigmoid(state.pool.opacity[:, 0])
+    ws = jnp.max(jnp.exp(state.pool.scaling), axis=1)
+
+    def mq(x, p):
+        return jnp.nanquantile(jnp.where(alive, x, jnp.nan), p)
+
+    out = {
+        "op_q01": mq(op, 0.01), "op_q50": mq(op, 0.5),
+        "op_q99": mq(op, 0.99),
+        "op_lo": jnp.sum(((op < 0.01) & alive).astype(jnp.int32)),
+        "ws_q50": mq(ws, 0.5), "ws_q99": mq(ws, 0.99),
+        "ws_max": jnp.max(jnp.where(alive, ws, 0.0)),
+        "r2d_q99": mq(state.stats.max_radii2d, 0.99),
+        "r2d_max": jnp.max(state.stats.max_radii2d),
+    }
+
+    lrs = lr_dict(state.step, opt, spatial_lr_scale)
+    c = jnp.maximum(state.adam.count.astype(jnp.float32), 1.0)
+    c1 = 1 - B1 ** c
+    c2 = 1 - B2 ** c
+    for name in state.adam.mu["pool"]:
+        m = state.adam.mu["pool"][name]
+        v = state.adam.nu["pool"][name]
+        mag = jnp.abs(m / c1) / (jnp.sqrt(v / c2) + EPS)
+        mask = alive.reshape((-1,) + (1,) * (m.ndim - 1))
+        mean_mag = (jnp.sum(jnp.where(mask, mag, 0.0))
+                    / jnp.maximum(jnp.sum(jnp.where(
+                        mask, jnp.ones_like(mag), 0.0)), 1.0))
+        out[f"estep_{name}"] = lrs[name] * mean_mag
+    for dname in state.adam.mu["deform"]:
+        grp = "grid" if dname == "grid" else "deformation"
+        tot = jnp.zeros(())
+        cnt = jnp.zeros(())
+        for m, v in zip(
+                jax.tree_util.tree_leaves(state.adam.mu["deform"][dname]),
+                jax.tree_util.tree_leaves(state.adam.nu["deform"][dname])):
+            mag = jnp.abs(m / c1) / (jnp.sqrt(v / c2) + EPS)
+            tot = tot + jnp.sum(mag)
+            cnt = cnt + mag.size
+        out[f"estep_{dname}"] = lrs[grp] * tot / jnp.maximum(cnt, 1.0)
+    out["lr_xyz"] = lrs["xyz"]
+    out["lr_grid"] = lrs["grid"]
+    out["lr_deformation"] = lrs["deformation"]
+    return out
 
 
 def densify_schedule(iteration: int, stage: str, opt: OptimizationParams):

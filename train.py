@@ -446,6 +446,19 @@ def main(argv=None):
                          "ovf_pairs": int(aux["overflow_pairs"]),
                          "nan_skips": int(state.nan_skips),
                          "it_per_s": round(n_done / (time.time() - t_start), 3)}
+                if "radii_max" in aux:
+                    entry["radii_max"] = round(float(aux["radii_max"]), 1)
+                    entry["n_r20"] = int(aux["n_r20"])
+                elif "radii" in aux:
+                    rad = np.asarray(aux["radii"], np.float32)
+                    vis = np.asarray(aux["visible"])
+                    entry["radii_max"] = round(float((rad * vis).max()), 1)
+                    entry["n_r20"] = int(((rad > 20.0) & vis).sum())
+                if os.environ.get("S3G_PROBE"):
+                    from s3gaussian_tpu.train.trainer import probe_pool
+                    pr = probe_pool(state, opt, scene.cameras_extent)
+                    entry["probe"] = {k: round(float(v), 8)
+                                      for k, v in pr.items()}
                 print(entry)
                 if is_primary():
                     with open(logger_path, "a") as f:
@@ -503,10 +516,11 @@ def main(argv=None):
 
             if iteration in args.checkpoint_iterations:
                 print(f"[ITER {iteration}] saving checkpoint")
-                if is_primary():
-                    ckpt.save_checkpoint(model.model_path, stage, iteration,
-                                         state)
-                sync_hosts("ckpt")
+                # collective: every process participates (orbax barriers
+                # span processes; primary-only gating deadlocks — see
+                # checkpoints.save_checkpoint)
+                ckpt.save_checkpoint(model.model_path, stage, iteration,
+                                     state)
 
             # mid-training full evaluation (reference train.py:533-551)
             if iteration == 30000 and not args.bench_iters:
@@ -524,10 +538,8 @@ def main(argv=None):
         state = scene_reconstruction(state, "coarse", max(start_iter, 0) + 1
                                      if start_iter else 1,
                                      opt.coarse_iterations)
-        if is_primary():
-            ckpt.save_checkpoint(model.model_path, "coarse",
-                                 opt.coarse_iterations, state)
-        sync_hosts("ckpt_coarse")
+        ckpt.save_checkpoint(model.model_path, "coarse",
+                             opt.coarse_iterations, state)
         start_iter = 0
 
     # cross-clip warm start (train.py:611-624)
@@ -538,8 +550,8 @@ def main(argv=None):
     # stage 2: fine (dynamic)
     state = scene_reconstruction(state, "fine", start_iter + 1,
                                  opt.iterations)
+    ckpt.save_checkpoint(model.model_path, "fine", opt.iterations, state)
     if is_primary():
-        ckpt.save_checkpoint(model.model_path, "fine", opt.iterations, state)
         ckpt.save_ply_pool(os.path.join(
             model.model_path, "point_cloud",
             f"iteration_{opt.iterations}", "point_cloud.ply"), state.pool)
