@@ -149,6 +149,17 @@ class OptimizationParams:
     # size-based prunes as a fraction of alive points; 0 = off (reference
     # semantics).  See models/pool.py densify_and_prune.
     size_prune_cap: float = 0.0
+    # TPU-build extension (not in the reference): keep the PRUNE-ONLY half
+    # of density control (opacity/size prunes, no clone/split/reset)
+    # running at densification_interval cadence after densify_until_iter.
+    # 0 = off = reference semantics (train.py:489-516 stops ALL density
+    # control at densify_until_iter).  Round-5 instrumentation (leg AN
+    # probes, BASELINE.md) measured the post-densify collapse mechanism:
+    # without opacity pruning, a low-opacity reservoir accumulates, Adam's
+    # eps=1e-15 normalization random-walks it, and members re-opacify as
+    # misplaced fog splats that occlude cameras.  Continuous pruning
+    # removes the reservoir before it can re-materialize.
+    prune_after_densify: int = 0
     lambda_dssim: float = 0.2
     lambda_depth: float = 0.5
     densification_interval: int = 100
@@ -305,6 +316,18 @@ class RasterConfig:
     # stream memory by B — fine at 200k, fatal at LiDAR-cap NR on a
     # 16 GB chip.  Off = scheduler's choice.
     multicam_serialize: bool = False
+    # multicam: run the per-camera rasterization pipelines of a
+    # render_multicam TRAINING batch under one ``lax.scan`` body instead
+    # of a python-unrolled loop.  The body compiles ONCE, so the XLA
+    # program stops growing with rig size — the composed rig program's
+    # cold compile was 360.6 s unrolled (BENCH_r04) with B=3 copies of
+    # the full sort+Pallas+custom_vjp graph.  Execution is sequential
+    # across cameras, which the multicam_serialize A/B measured as free
+    # (0.578 vs 0.579 steps/s at rig scale) — XLA already serializes the
+    # pair pipelines there.  Also caps peak pair-stream memory at ONE
+    # camera (what multicam_serialize did by hand).  0 = unrolled
+    # (round-4 behavior); eval decomposition renders stay unrolled.
+    multicam_scan: bool = False
 
     __hash__ = object.__hash__
 

@@ -569,7 +569,12 @@ def densify_schedule(iteration: int, stage: str, opt: OptimizationParams):
     """Annealed thresholds (train.py:494-499)."""
     if stage == "coarse":
         return opt.densify_grad_threshold_coarse, opt.opacity_threshold_coarse
-    frac = iteration / opt.densify_until_iter
+    # clamp: the reference only evaluates this while
+    # iteration < densify_until_iter (train.py:494-499), so frac <= 1
+    # there; prune_after_densify reuses the schedule past that point and
+    # must get the end-of-anneal value, not a linear extrapolation below
+    # opacity_threshold_fine_after
+    frac = min(iteration / opt.densify_until_iter, 1.0)
     op_thr = (opt.opacity_threshold_fine_init
               - frac * (opt.opacity_threshold_fine_init
                         - opt.opacity_threshold_fine_after))

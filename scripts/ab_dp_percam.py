@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Percam-stats A/B on the PLAIN data-parallel seam (VERDICT r4 next #6).
+
+The r4 multicam bisect proved per-camera densify statistics (leg BP)
+heal the batched-rig divergence, and ``data_parallel._device_step``
+defaults the same semantics for DP camera batches on the argument that
+the mechanism is identical.  But DP batch members are *different
+timesteps* (time-spread), not a same-timestep rig — per-view gradient
+cancellation statistics differ, and that configuration was never
+measured.  This script runs the measurement: the same mini clip trained
+through the real CLI with ``--batch_size 4`` over a 4-device CPU mesh,
+
+    leg dpn — batch-summed stats   (--multicam_percam_stats 0, r3 semantics)
+    leg dpp — per-camera stats     (--multicam_percam_stats 1, the default)
+
+at a reduced resolution so the CPU mesh can carry the schedule.  Probe =
+the fine-stage train-PSNR trajectory (ab_multicam.read_probes) plus the
+final logger tail.
+
+    python scripts/ab_dp_percam.py --leg dpp [--coarse 400 --fine 1500]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+# CPU mesh BEFORE jax import: the container sitecustomize force-selects
+# the axon TPU backend, so both the env and the config update are needed
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=4").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+LEGS = {
+    "dpn": ["--multicam_percam_stats", "0"],
+    "dpp": ["--multicam_percam_stats", "1"],
+}
+
+PROBES = (300, 600, 900, 1500)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--leg", required=True, choices=sorted(LEGS))
+    p.add_argument("--clip", default="/tmp/dp_clip_s")
+    p.add_argument("--coarse", type=int, default=300)
+    p.add_argument("--fine", type=int, default=1200)
+    p.add_argument("--h", type=int, default=96)
+    p.add_argument("--w", type=int, default=144)
+    args, extra = p.parse_known_args(argv)
+
+    import mini_clip
+
+    model_path = os.path.join(args.clip, f"recon_{args.leg}")
+    mini_clip.main([
+        "--out", args.clip, "--frames", "12", "--train",
+        "--h", str(args.h), "--w", str(args.w),
+        "--coarse", str(args.coarse), "--fine", str(args.fine),
+        "--reset_interval", str(10 * (args.coarse + args.fine)),
+        "--model_path", model_path,
+        # CPU-mesh-sized budgets (override mini_clip's TPU defaults;
+        # argparse last-wins) — the first feasibility probe at 160x240 /
+        # 40k pts managed ~1 step in 20 CPU-minutes; these sizes measure
+        # the same *stats semantics* dynamics at CPU-tractable cost
+        "--num_pts", "12000",
+        "--max_points", "32768",
+        "--max_visible", "8192",
+        "--pair_budget", "524288",
+        "--rect_w", "3", "--rect_h", "3",
+        "--batch_size", "4",
+        "--skip_final_eval",
+    ] + LEGS[args.leg] + extra)
+
+    from ab_multicam import read_probes
+    probes = read_probes(os.path.join(model_path, "logger.json"),
+                         probes=PROBES)
+    print("AB_DP_PROBES", args.leg,
+          json.dumps({p: v for p, v in sorted(probes.items())}))
+    return probes
+
+
+if __name__ == "__main__":
+    main()

@@ -404,3 +404,79 @@ def test_multicam_union_cull_is_output_invariant():
             jax.tree_util.tree_leaves_with_path(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4,
                                    atol=2e-6, err_msg=str(pa))
+
+
+def test_multicam_scan_matches_unrolled():
+    """cfg.multicam_scan (lax.scan body, compile-time fix for the rig
+    program) must reproduce the unrolled loop: losses, gradients (incl.
+    per-camera tap grads), and the reference reductions (radii max /
+    visible any / vis_count sum)."""
+    import dataclasses
+
+    state, camera, hp, pipe, bg = helpers.setup(seed=4)
+    opt = OptimizationParams()
+    cams = stack_cameras([camera, shifted_camera(camera, 0.25),
+                          shifted_camera(camera, -0.25)])
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    cfg_scan = dataclasses.replace(CFG, multicam_scan=True)
+
+    for tap in (jnp.zeros((3, state.pool.capacity, 2)),   # per-camera
+                jnp.zeros((state.pool.capacity, 2))):     # shared
+        lU, auxU, gU = _loss_and_grads(
+            compute_loss_multicam, params, tap, state.pool.alive, cams, 3,
+            "fine", 0, hp, opt, pipe, state.aabb, bg, CFG)
+        lS, auxS, gS = _loss_and_grads(
+            compute_loss_multicam, params, tap, state.pool.alive, cams, 3,
+            "fine", 0, hp, opt, pipe, state.aabb, bg, cfg_scan)
+        assert np.allclose(float(lU), float(lS), rtol=1e-6)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gU),
+                jax.tree_util.tree_leaves_with_path(gS)):
+            scale = max(float(jnp.abs(a).max()), 1e-8)
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-4,
+                atol=max(1e-5 * scale, 1e-7), err_msg=str(pa))
+        np.testing.assert_array_equal(np.asarray(auxU["radii"]),
+                                      np.asarray(auxS["radii"]))
+        np.testing.assert_array_equal(np.asarray(auxU["visible"]),
+                                      np.asarray(auxS["visible"]))
+        np.testing.assert_array_equal(np.asarray(auxU["vis_count"]),
+                                      np.asarray(auxS["vis_count"]))
+        assert int(auxU["n_pairs"]) == int(auxS["n_pairs"])
+
+
+def test_multicam_scan_matches_unrolled_cull():
+    """Scan + cull_before_deform: the single post-scan unsort must equal
+    the unrolled per-camera unsort + reduce."""
+    import dataclasses
+
+    state, camera, hp, pipe, bg = helpers.setup(seed=5)
+    opt = OptimizationParams()
+    cams = stack_cameras([camera, shifted_camera(camera, 0.3)])
+    params = {"pool": state.pool.param_dict(), "deform": state.deform}
+    tap = jnp.zeros((2, state.pool.capacity, 2))
+    cfg_cull = dataclasses.replace(CFG, cull_before_deform=True,
+                                   max_visible=state.pool.capacity,
+                                   cull_margin_px=48.0)
+    cfg_cull_scan = dataclasses.replace(cfg_cull, multicam_scan=True)
+
+    lU, auxU, gU = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, cams, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, cfg_cull)
+    lS, auxS, gS = _loss_and_grads(
+        compute_loss_multicam, params, tap, state.pool.alive, cams, 2,
+        "fine", 0, hp, opt, pipe, state.aabb, bg, cfg_cull_scan)
+    assert np.allclose(float(lU), float(lS), rtol=1e-6)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gU),
+            jax.tree_util.tree_leaves_with_path(gS)):
+        scale = max(float(jnp.abs(a).max()), 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=2e-4,
+            atol=max(1e-5 * scale, 1e-7), err_msg=str(pa))
+    np.testing.assert_array_equal(np.asarray(auxU["radii"]),
+                                  np.asarray(auxS["radii"]))
+    np.testing.assert_array_equal(np.asarray(auxU["visible"]),
+                                  np.asarray(auxS["visible"]))
+    np.testing.assert_array_equal(np.asarray(auxU["vis_count"]),
+                                  np.asarray(auxS["vis_count"]))

@@ -322,6 +322,9 @@ def main(argv=None):
                      and i % opt.densification_interval == 0)
                     or i % opt.opacity_reset_interval == 0):
                 return True
+            if (opt.prune_after_densify and i >= opt.densify_until_iter
+                    and i % opt.densification_interval == 0):
+                return True
             if model.render_process and not args.bench_iters:
                 if ((i < 10000 and i % 1000 == 999)
                         or (i < 30000 and i % 2000 == 1999)
@@ -513,6 +516,27 @@ def main(argv=None):
                             json.dump({"step": iteration, "stage": stage,
                                        "opacity_reset": True}, f)
                             f.write("\n")
+            elif (opt.prune_after_densify
+                  and iteration % opt.densification_interval == 0):
+                # prune-only continuation past densify_until_iter (opt-in
+                # TPU-build stability extension; see config.py
+                # prune_after_densify): the densify program with an
+                # unreachable grad threshold selects zero clones/splits
+                # and applies only the opacity/size prunes
+                _, othr = densify_schedule(iteration, stage, opt)
+                size_thr = (20.0 if iteration > opt.opacity_reset_interval
+                            else None)
+                rng, sub = jax.random.split(rng)
+                state, info = densify_step(state, sub, 1e30, othr,
+                                           scene.cameras_extent, size_thr,
+                                           opt)
+                dentry = {"step": iteration, "stage": stage,
+                          "prune_only": {k: int(v) for k, v in
+                                         info.items()}}
+                if is_primary():
+                    with open(logger_path, "a") as f:
+                        json.dump(dentry, f)
+                        f.write("\n")
 
             if iteration in args.checkpoint_iterations:
                 print(f"[ITER {iteration}] saving checkpoint")
