@@ -35,7 +35,7 @@ V5E_ROOFLINE_IT_PER_S = 13.7
 def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
                  render_fps_too=True, multicam=0, remat=False,
                  scene="frustum", cull=False, max_visible=0,
-                 serialize=False):
+                 serialize=False, multicam_scan=False):
     """Build the synthetic fine-stage workload at ``n`` gaussians and
     measure scanned train-step throughput (+ optional render-only FPS).
     With ``multicam`` B>1, each optimizer step renders B same-timestep
@@ -90,7 +90,8 @@ def run_workload(n, cap, pair_budget, big_budget, chunk, scan_n, n_steps,
                        rect_w=4, rect_h=4, pair_budget=pair_budget,
                        chunk=chunk, big_budget=big_budget,
                        cull_before_deform=cull,
-                       multicam_serialize=serialize)
+                       multicam_serialize=serialize,
+                       multicam_scan=multicam_scan)
     deform = init_deformation(jax.random.PRNGKey(0), hp)
     aabb = jnp.asarray([[80.0, 80.0, 80.0], [-80.0, -80.0, -10.0]])
     state = init_state(pool, deform, aabb)

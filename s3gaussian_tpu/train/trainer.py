@@ -574,7 +574,7 @@ def densify_schedule(iteration: int, stage: str, opt: OptimizationParams):
     # there; prune_after_densify reuses the schedule past that point and
     # must get the end-of-anneal value, not a linear extrapolation below
     # opacity_threshold_fine_after
-    frac = min(iteration / opt.densify_until_iter, 1.0)
+    frac = min(iteration / max(opt.densify_until_iter, 1), 1.0)
     op_thr = (opt.opacity_threshold_fine_init
               - frac * (opt.opacity_threshold_fine_init
                         - opt.opacity_threshold_fine_after))

@@ -155,3 +155,21 @@ def test_scan_steps_match_sequential():
     assert aux_scan["metrics"]["loss"].shape == (3,)
     np.testing.assert_allclose(float(aux_scan["metrics"]["loss"][-1]),
                                float(aux_seq["metrics"]["loss"]), rtol=1e-6)
+
+
+def test_densify_schedule_densify_off():
+    """densify_until_iter=0 (densification fully off, the AN/ANP probe
+    legs + prune_after_densify continuation) must not divide by zero and
+    must return the end-of-anneal thresholds."""
+    from s3gaussian_tpu.config import OptimizationParams
+
+    opt = OptimizationParams()
+    opt.densify_until_iter = 0
+    g, o = densify_schedule(500, "fine", opt)
+    assert g == opt.densify_grad_threshold_after
+    assert o == opt.opacity_threshold_fine_after
+    # past densify_until the anneal clamps at its final value
+    opt.densify_until_iter = 100
+    g2, o2 = densify_schedule(1000, "fine", opt)
+    assert g2 == opt.densify_grad_threshold_after
+    assert o2 == opt.opacity_threshold_fine_after
