@@ -75,10 +75,17 @@ def main(argv=None):
         # the same *stats semantics* dynamics at CPU-tractable cost
         "--num_pts", "12000",
         "--max_points", "32768",
-        "--max_visible", "8192",
+        "--max_visible", "16384",
         "--pair_budget", "524288",
         "--rect_w", "3", "--rect_h", "3",
         "--batch_size", "4",
+        # this environment exposes ONE CPU core: the full-size hexplane's
+        # XLA CPU compile alone runs >25 min, so the A/B uses the test
+        # suite's tiny deformation config — the quantity under test
+        # (densify-statistics semantics across batched views) is
+        # pool-side, not hexplane-side
+        "--configs", os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests", "tiny_config.py"),
         "--skip_final_eval",
     ] + LEGS[args.leg] + extra)
 
