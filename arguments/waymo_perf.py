@@ -7,6 +7,11 @@
 RasterConfig = dict(
     cull_before_deform=True,
     max_visible=0,
+    # one lax.scan body for the rig's per-camera pipelines instead of a
+    # python unroll: cold compile 289.7 -> 245.0 s and 2.87 -> 3.30
+    # cams/s at the production-rig workload (BASELINE.md round 5) —
+    # the scan also caps peak pair-stream memory at one camera
+    multicam_scan=True,
 )
 
 # One optimizer step batches the 3-camera rig of a frame against a single

@@ -335,7 +335,8 @@ def main():
             render_fps_too=False, multicam=3, remat=True,
             scene="street360", cull=True,
             max_visible=int(os.environ.get("BENCH_RIG_MAX_VISIBLE",
-                                           "589824")))
+                                           "589824")),
+            multicam_scan=os.environ.get("BENCH_RIG_SCAN", "1") == "1")
         print(json.dumps({"detail_waymo_rig": rig}), file=sys.stderr,
               flush=True)
         # the production-rig throughput is a first-class tracked metric
