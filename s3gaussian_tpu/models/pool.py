@@ -172,7 +172,8 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
                       grad_threshold: float, opacity_threshold: float,
                       scene_extent: float, percent_dense: float,
                       max_screen_size: Optional[jnp.ndarray],
-                      max_points: int, size_prune_cap: float = 0.0):
+                      max_points: int, size_prune_cap: float = 0.0,
+                      world_prune: Optional[bool] = None):
     """One densification step: clone + split + prune, fused.
 
     ``opt_rows`` maps param-group name -> tuple of row-shaped optimizer
@@ -252,12 +253,23 @@ def densify_and_prune(pool: GaussianPool, opt_rows: Dict[str, Tuple],
              | split_ok)
     eligible = alive & ~newly  # fresh rows aren't pruned this round
     prune_opac = (opac < opacity_threshold) & eligible
+    # reference couples screen and world size-prunes to one switch
+    # (prune(size_threshold), gaussian_model.py:661-672); world_prune
+    # decouples them for the prune-only continuation
+    # (opt.prune_after_densify): the screen prune removes converged
+    # geometry that only active densification replaces (measured death
+    # spiral, BASELINE.md round 5 flagship-016), while the world prune
+    # bounds the unregulated scale growth of the fog mechanism.
+    world_on = world_prune if world_prune is not None \
+        else (max_screen_size is not None)
     if max_screen_size is not None:
         prune_screen = (stats.max_radii2d > max_screen_size) & eligible
+    else:
+        prune_screen = jnp.zeros(nc, bool)
+    if world_on:
         prune_world = (jnp.max(jnp.exp(new_params["scaling"]), axis=1)
                        > 0.1 * scene_extent) & eligible
     else:
-        prune_screen = jnp.zeros(nc, bool)
         prune_world = jnp.zeros(nc, bool)
     size_prune = prune_screen | prune_world
     n_size_sel = jnp.sum(size_prune.astype(jnp.int32))

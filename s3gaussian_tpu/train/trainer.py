@@ -462,11 +462,11 @@ def train_steps_scan(state: TrainState, cameras: Camera, stage: str,
 
 
 @functools.partial(jax.jit, static_argnames=("opt", "max_screen_size",
-                                              "scene_extent"))
+                                              "scene_extent", "world_prune"))
 def densify_step(state: TrainState, rng: jax.Array,
                  grad_threshold, opacity_threshold,
                  scene_extent: float, max_screen_size,
-                 opt: OptimizationParams):
+                 opt: OptimizationParams, world_prune=None):
     """Clone+split+prune with Adam-row surgery (train.py:489-516)."""
     opt_rows = {name: (state.adam.mu["pool"][name],
                        state.adam.nu["pool"][name])
@@ -474,7 +474,8 @@ def densify_step(state: TrainState, rng: jax.Array,
     pool, new_rows, stats, info = densify_and_prune(
         state.pool, opt_rows, state.stats, rng, grad_threshold,
         opacity_threshold, scene_extent, opt.percent_dense, max_screen_size,
-        max_points=2_000_000, size_prune_cap=opt.size_prune_cap)
+        max_points=2_000_000, size_prune_cap=opt.size_prune_cap,
+        world_prune=world_prune)
     mu = {"pool": {k: new_rows[k][0] for k in new_rows},
           "deform": state.adam.mu["deform"]}
     nu = {"pool": {k: new_rows[k][1] for k in new_rows},

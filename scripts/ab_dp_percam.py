@@ -8,7 +8,7 @@ the mechanism is identical.  But DP batch members are *different
 timesteps* (time-spread), not a same-timestep rig — per-view gradient
 cancellation statistics differ, and that configuration was never
 measured.  This script runs the measurement: the same mini clip trained
-through the real CLI with ``--batch_size 4`` over a 4-device CPU mesh,
+through the real CLI with ``--batch_size 4`` over a 2-device CPU mesh (this box exposes ONE core, so each mesh device executes serially — 2 devices keeps the serial multiplier workable),
 
     leg dpn — batch-summed stats   (--multicam_percam_stats 0, r3 semantics)
     leg dpp — per-camera stats     (--multicam_percam_stats 1, the default)
@@ -32,7 +32,7 @@ import sys
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=4").strip()
+        flags + " --xla_force_host_platform_device_count=2").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
@@ -47,17 +47,17 @@ LEGS = {
     "dpp": ["--multicam_percam_stats", "1"],
 }
 
-PROBES = (300, 600, 900, 1500)
+PROBES = (250, 500, 750, 1000)
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--leg", required=True, choices=sorted(LEGS))
-    p.add_argument("--clip", default="/tmp/dp_clip_s")
-    p.add_argument("--coarse", type=int, default=300)
-    p.add_argument("--fine", type=int, default=1200)
-    p.add_argument("--h", type=int, default=96)
-    p.add_argument("--w", type=int, default=144)
+    p.add_argument("--clip", default="/tmp/dp_clip_t")
+    p.add_argument("--coarse", type=int, default=200)
+    p.add_argument("--fine", type=int, default=1000)
+    p.add_argument("--h", type=int, default=64)
+    p.add_argument("--w", type=int, default=96)
     args, extra = p.parse_known_args(argv)
 
     import mini_clip
@@ -73,12 +73,13 @@ def main(argv=None):
         # argparse last-wins) — the first feasibility probe at 160x240 /
         # 40k pts managed ~1 step in 20 CPU-minutes; these sizes measure
         # the same *stats semantics* dynamics at CPU-tractable cost
-        "--num_pts", "12000",
-        "--max_points", "32768",
-        "--max_visible", "16384",
-        "--pair_budget", "524288",
+        "--num_pts", "8000",
+        "--max_points", "16384",
+        "--max_visible", "8192",
+        "--pair_budget", "262144",
         "--rect_w", "3", "--rect_h", "3",
-        "--batch_size", "4",
+        "--max_pairs_per_tile", "2048", "--chunk", "32",
+        "--batch_size", "2",
         # this environment exposes ONE CPU core: the full-size hexplane's
         # XLA CPU compile alone runs >25 min, so the A/B uses the test
         # suite's tiny deformation config — the quantity under test
@@ -86,6 +87,10 @@ def main(argv=None):
         # pool-side, not hexplane-side
         "--configs", os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "tests", "tiny_config.py"),
+        # one plain-step program only: the 10-step scan-block program's
+        # XLA CPU compile alone exceeded 20 min on this 1-core box, and
+        # CPU has no per-dispatch overhead to amortize anyway
+        "--steps_per_dispatch", "1",
         "--skip_final_eval",
     ] + LEGS[args.leg] + extra)
 

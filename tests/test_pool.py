@@ -194,3 +194,31 @@ def test_size_prune_cap_keeps_worst_offenders():
     assert not bool(new_pool.alive[7])
     assert int(info["n_prune_size_capped"]) == 2
     assert int(info["n_pruned"]) == 3
+
+
+def test_world_prune_decoupled_from_screen():
+    """world_prune=True with max_screen_size=None (the prune-only
+    continuation, opt.prune_after_densify): world-size prunes apply,
+    screen-size prunes do NOT — the screen prior removes converged
+    geometry only active densification replaces (BASELINE.md round 5)."""
+    pool, *_ = small_pool()
+    pool = GaussianPool(**{**{f.name: getattr(pool, f.name)
+                              for f in pool.__dataclass_fields__.values()},
+                           "scaling": pool.scaling.at[9].set(5.0)})
+    stats = PoolStats(jnp.zeros(pool.capacity).at[2].set(30.0),
+                      jnp.zeros(pool.capacity), jnp.zeros(pool.capacity))
+    new_pool, _, _, info = densify_and_prune(
+        pool, zero_opt(pool), stats, jax.random.PRNGKey(0),
+        grad_threshold=1e30, opacity_threshold=0.005, scene_extent=100.0,
+        percent_dense=0.01, max_screen_size=None, max_points=1000,
+        world_prune=True)
+    assert int(info["n_prune_screen"]) == 0    # row 2 survives
+    assert int(info["n_prune_world"]) == 1     # row 9 (e^5 > 0.1*100)
+    assert bool(new_pool.alive[2])
+    assert not bool(new_pool.alive[9])
+    # default coupling unchanged: world follows max_screen_size
+    _, _, _, info2 = densify_and_prune(
+        pool, zero_opt(pool), stats, jax.random.PRNGKey(0),
+        grad_threshold=1e30, opacity_threshold=0.005, scene_extent=100.0,
+        percent_dense=0.01, max_screen_size=None, max_points=1000)
+    assert int(info2["n_prune_world"]) == 0

@@ -310,10 +310,15 @@ def main(argv=None):
                            else random.choices(g, k=mc))
                 return _stack_mc([cams[i] for i in idx])
 
+        # S3G_LOG_EVERY overrides the reference's 100-iter telemetry
+        # cadence (train.py:445-467) — diagnostic runs on slow backends
+        # (1-core CPU mesh) need finer progress
+        log_every = max(int(os.environ.get("S3G_LOG_EVERY", "100")), 1)
+
         def event_after(i):
             """Host work runs after step i (log/densify/reset/ckpt/eval) —
             a scanned block must end there."""
-            if i % 100 == 0 or i == first_iter or i == 30000:
+            if i % log_every == 0 or i == first_iter or i == 30000:
                 return True
             if i in args.checkpoint_iterations:
                 return True
@@ -436,7 +441,7 @@ def main(argv=None):
                                             cfg, scene.cameras_extent, bg)
                     n_done += 1
 
-            if iteration % 100 == 0 or iteration == first_iter:
+            if iteration % log_every == 0 or iteration == first_iter:
                 m = {k: float(v) for k, v in aux["metrics"].items()}
                 ema_loss = 0.4 * m["loss"] + 0.6 * ema_loss
                 entry = {"step": iteration, "stage": stage,
@@ -521,15 +526,18 @@ def main(argv=None):
                 # prune-only continuation past densify_until_iter (opt-in
                 # TPU-build stability extension; see config.py
                 # prune_after_densify): the densify program with an
-                # unreachable grad threshold selects zero clones/splits
-                # and applies only the opacity/size prunes
+                # unreachable grad threshold selects zero clones/splits.
+                # Opacity + WORLD-size prunes only — the 20-px screen
+                # prune removes converged geometry that only active
+                # densification replaces (flagship-016 measured a
+                # 377k->189k/600-iter death spiral with it on), while
+                # the world prune bounds the fog mechanism's unregulated
+                # scale growth (legs AN/ANP).
                 _, othr = densify_schedule(iteration, stage, opt)
-                size_thr = (20.0 if iteration > opt.opacity_reset_interval
-                            else None)
                 rng, sub = jax.random.split(rng)
                 state, info = densify_step(state, sub, 1e30, othr,
-                                           scene.cameras_extent, size_thr,
-                                           opt)
+                                           scene.cameras_extent, None,
+                                           opt, world_prune=True)
                 dentry = {"step": iteration, "stage": stage,
                           "prune_only": {k: int(v) for k, v in
                                          info.items()}}
