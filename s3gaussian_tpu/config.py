@@ -28,6 +28,13 @@ class ModelParams:
 
     debug_test: bool = False
     sh_degree: int = 3
+    # explicit Gaussian-pool capacity (TPU-build extension; 0 = auto =
+    # next_pow2(1.5x init count), data/scene.py).  The auto rule can
+    # starve densification on long runs whose init count sits just under
+    # a power of two — leg AXDF saturated its 2^18 pool by fine-1200 and
+    # decayed into the fog regime while the densifier trickled clones
+    # into ~150 freed slots per window (BASELINE.md round 5).
+    pool_capacity: int = 0
     source_path: str = ""
     model_path: str = ""
     images: str = "images"

@@ -150,7 +150,7 @@ def main(argv=None):
             f.write(repr(dump))
 
     print(f"Loading scene from {model.source_path}")
-    scene = load_scene(model)
+    scene = load_scene(model, pool_capacity=model.pool_capacity or None)
     print(f"  {len(scene.info.points)} init points, "
           f"{len(scene.get_train_cameras())} train cams, "
           f"{len(scene.get_test_cameras())} test cams, "
